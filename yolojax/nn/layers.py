@@ -1,0 +1,362 @@
+"""Core functional NN layers for TPU (NHWC, XLA-first).
+
+A network is a flat tuple of layer *specs* (dataclasses below). The same
+spec list drives three things:
+
+  * parameter initialization (``init_network``),
+  * the jitted forward pass (``apply_network``),
+  * the Darknet ``.weights`` / TF1-checkpoint converters, which walk conv
+    and dense layers in spec order (yolojax/convert/).
+
+This mirrors the role of the reference's per-model ``inference.py`` builder
+functions (SURVEY.md §2: ``model/yolo2/inference.py`` — slim conv+BN+leaky
+stacks), but as data instead of code: TPU-idiomatic because the whole
+forward pass stays one traced function with static shapes that XLA can fuse
+and tile onto the MXU.
+
+Conventions:
+  * activations NHWC, conv kernels HWIO (``lax.conv_general_dilated``).
+  * trainable params and BN running statistics are separate pytrees
+    (``params`` / ``state``) so optax only ever sees trainables.
+  * Darknet-compatible explicit padding (pad_lo = k//2) so converted
+    ``.weights`` reproduce reference box outputs within fp tolerance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# Layer specs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvSpec:
+    """2-D convolution, optionally fused with BN + activation."""
+
+    out: int
+    ksize: int
+    stride: int = 1
+    bn: bool = True
+    act: str = "leaky"  # "leaky" | "linear"
+
+
+@dataclasses.dataclass(frozen=True)
+class MaxPoolSpec:
+    size: int = 2
+    stride: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class RouteSpec:
+    """Concatenate earlier layer outputs along channels (Darknet 'route').
+
+    ``layers`` holds relative (negative) or absolute indices into the
+    per-spec output list, exactly like a Darknet cfg route layer.
+    """
+
+    layers: Tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class ReorgSpec:
+    """Space-to-depth passthrough (YOLOv2 'reorg', stride 2)."""
+
+    stride: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class FlattenSpec:
+    """Flatten NHWC -> (N, C*H*W) in NCHW order (Darknet 'connected' input
+    order, so imported FC weights line up)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseSpec:
+    out: int
+    act: str = "leaky"
+
+
+@dataclasses.dataclass(frozen=True)
+class DropoutSpec:
+    rate: float = 0.5
+
+
+LayerSpec = Any  # union of the dataclasses above
+
+
+# ---------------------------------------------------------------------------
+# Primitive ops
+# ---------------------------------------------------------------------------
+
+
+def _darknet_padding(size: int, kernel: int, stride: int) -> Tuple[int, int]:
+    """Explicit (lo, hi) padding reproducing Darknet's conv arithmetic.
+
+    Darknet pads ``k // 2`` then floors: out = (H + 2*(k//2) - k)//s + 1 with
+    windows anchored at ``-k//2``. For stride 1 this equals SAME; for the
+    strided convs in YOLOv1 it differs from XLA SAME (which pads low=0), so
+    we always emit explicit padding.
+    """
+    pad_lo = kernel // 2
+    out = (size + 2 * pad_lo - kernel) // stride + 1
+    pad_hi = max((out - 1) * stride + kernel - size - pad_lo, 0)
+    return pad_lo, pad_hi
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    stride: int = 1,
+    *,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+) -> jax.Array:
+    """NHWC x HWIO conv with Darknet-compatible explicit padding.
+
+    Inputs are cast to ``compute_dtype`` (bf16 by default — MXU native) and
+    accumulated in fp32 via ``preferred_element_type``.
+    """
+    k = w.shape[0]
+    pad_h = _darknet_padding(x.shape[1], k, stride)
+    pad_w = _darknet_padding(x.shape[2], w.shape[1], stride)
+    return lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=(pad_h, pad_w),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def batch_norm(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    mean: jax.Array,
+    var: jax.Array,
+    *,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Inference-form BN: y = scale * (x - mean) * rsqrt(var + eps) + bias.
+
+    Folded into two fused multiplies/adds; XLA fuses this into the conv
+    epilogue, matching what cuDNN fused BN did for the reference.
+    """
+    inv = lax.rsqrt(var.astype(jnp.float32) + eps) * scale.astype(jnp.float32)
+    return x.astype(jnp.float32) * inv + (
+        bias.astype(jnp.float32) - mean.astype(jnp.float32) * inv
+    )
+
+
+def leaky_relu(x: jax.Array, alpha: float = 0.1) -> jax.Array:
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def max_pool(x: jax.Array, size: int, stride: int) -> jax.Array:
+    """Max pool with Darknet-compatible padding (SAME-style, -inf pads)."""
+    total = max((math.ceil(x.shape[1] / stride) - 1) * stride + size - x.shape[1], 0)
+    pad_h = (total // 2, total - total // 2)
+    total_w = max((math.ceil(x.shape[2] / stride) - 1) * stride + size - x.shape[2], 0)
+    pad_w = (total_w // 2, total_w - total_w // 2)
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, size, size, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), pad_h, pad_w, (0, 0)),
+    )
+
+
+def space_to_depth(x: jax.Array, stride: int = 2) -> jax.Array:
+    """Darknet 'reorg' passthrough (tf.space_to_depth semantics).
+
+    (N, H, W, C) -> (N, H/s, W/s, C*s*s). Pure reshape/transpose — XLA
+    compiles it to a layout change fused with neighbours, no Pallas needed
+    (SURVEY.md §2 native-capability table).
+    """
+    n, h, w, c = x.shape
+    s = stride
+    x = x.reshape(n, h // s, s, w // s, s, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // s, w // s, c * s * s)
+
+
+# ---------------------------------------------------------------------------
+# Network init / apply
+# ---------------------------------------------------------------------------
+
+
+def _conv_name(i: int) -> str:
+    return f"conv_{i}"
+
+
+def _dense_name(i: int) -> str:
+    return f"dense_{i}"
+
+
+def init_network(
+    key: jax.Array,
+    specs: Sequence[LayerSpec],
+    in_channels: int,
+    input_hw: Tuple[int, int],
+    *,
+    param_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Initialize (params, state) pytrees for a spec list.
+
+    Uses He-normal init for conv/dense kernels (leaky-ReLU gain). ``state``
+    holds BN running statistics only.
+    """
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+    # Track (h, w, c) through the net to size dense layers / shape checks.
+    h, w = input_hw
+    c = in_channels
+    channel_hist = []  # per-spec output channels for RouteSpec
+    hw_hist = []
+    for i, spec in enumerate(specs):
+        if isinstance(spec, ConvSpec):
+            key, sub = jax.random.split(key)
+            fan_in = spec.ksize * spec.ksize * c
+            std = math.sqrt(2.0 / fan_in)
+            layer = {
+                "w": (
+                    jax.random.normal(
+                        sub, (spec.ksize, spec.ksize, c, spec.out), param_dtype
+                    )
+                    * std
+                )
+            }
+            if spec.bn:
+                layer["scale"] = jnp.ones((spec.out,), param_dtype)
+                layer["bias"] = jnp.zeros((spec.out,), param_dtype)
+                state[_conv_name(i)] = {
+                    "mean": jnp.zeros((spec.out,), jnp.float32),
+                    "var": jnp.ones((spec.out,), jnp.float32),
+                }
+            else:
+                layer["b"] = jnp.zeros((spec.out,), param_dtype)
+            params[_conv_name(i)] = layer
+            c = spec.out
+            h = (h + 2 * (spec.ksize // 2) - spec.ksize) // spec.stride + 1
+            w = (w + 2 * (spec.ksize // 2) - spec.ksize) // spec.stride + 1
+        elif isinstance(spec, MaxPoolSpec):
+            h = math.ceil(h / spec.stride)
+            w = math.ceil(w / spec.stride)
+        elif isinstance(spec, ReorgSpec):
+            c = c * spec.stride * spec.stride
+            h //= spec.stride
+            w //= spec.stride
+        elif isinstance(spec, RouteSpec):
+            c = 0
+            for ref in spec.layers:
+                j = ref if ref >= 0 else i + ref
+                c += channel_hist[j]
+            h, w = hw_hist[
+                spec.layers[0] if spec.layers[0] >= 0 else i + spec.layers[0]
+            ]
+        elif isinstance(spec, FlattenSpec):
+            c = c * h * w
+            h = w = 1
+        elif isinstance(spec, DenseSpec):
+            key, sub = jax.random.split(key)
+            std = math.sqrt(2.0 / c)
+            params[_dense_name(i)] = {
+                "w": jax.random.normal(sub, (c, spec.out), param_dtype) * std,
+                "b": jnp.zeros((spec.out,), param_dtype),
+            }
+            c = spec.out
+        elif isinstance(spec, DropoutSpec):
+            pass
+        else:
+            raise TypeError(f"unknown layer spec: {spec!r}")
+        channel_hist.append(c)
+        hw_hist.append((h, w))
+    return params, state
+
+
+def apply_network(
+    specs: Sequence[LayerSpec],
+    params: Dict[str, Any],
+    state: Dict[str, Any],
+    x: jax.Array,
+    *,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    bn_momentum: float = 0.99,
+    bn_eps: float = 1e-5,
+    compute_dtype: jnp.dtype = jnp.bfloat16,
+    leaky_alpha: float = 0.1,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Run the network. Returns (output, new_state).
+
+    In ``train`` mode BN uses batch statistics and returns updated running
+    stats; in eval mode it uses ``state`` and returns it unchanged. The whole
+    function is trace-friendly: no data-dependent Python control flow.
+    """
+    new_state = dict(state)
+    outputs = []  # per-spec outputs for RouteSpec
+    for i, spec in enumerate(specs):
+        if isinstance(spec, ConvSpec):
+            layer = params[_conv_name(i)]
+            y = conv2d(x, layer["w"], spec.stride, compute_dtype=compute_dtype)
+            if spec.bn:
+                if train:
+                    m = jnp.mean(y, axis=(0, 1, 2))
+                    v = jnp.var(y, axis=(0, 1, 2))
+                    run = state[_conv_name(i)]
+                    new_state[_conv_name(i)] = {
+                        "mean": run["mean"] * bn_momentum + m * (1 - bn_momentum),
+                        "var": run["var"] * bn_momentum + v * (1 - bn_momentum),
+                    }
+                else:
+                    run = state[_conv_name(i)]
+                    m, v = run["mean"], run["var"]
+                y = batch_norm(y, layer["scale"], layer["bias"], m, v, eps=bn_eps)
+            else:
+                y = y.astype(jnp.float32) + layer["b"].astype(jnp.float32)
+            if spec.act == "leaky":
+                y = leaky_relu(y, leaky_alpha)
+            x = y.astype(compute_dtype)
+        elif isinstance(spec, MaxPoolSpec):
+            x = max_pool(x, spec.size, spec.stride)
+        elif isinstance(spec, ReorgSpec):
+            x = space_to_depth(x, spec.stride)
+        elif isinstance(spec, RouteSpec):
+            parts = [outputs[r if r >= 0 else i + r] for r in spec.layers]
+            x = jnp.concatenate(parts, axis=-1)
+        elif isinstance(spec, FlattenSpec):
+            n, h, w, c = x.shape
+            x = x.transpose(0, 3, 1, 2).reshape(n, c * h * w)
+        elif isinstance(spec, DenseSpec):
+            layer = params[_dense_name(i)]
+            y = jnp.dot(
+                x.astype(compute_dtype),
+                layer["w"].astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            y = y + layer["b"].astype(jnp.float32)
+            if spec.act == "leaky":
+                y = leaky_relu(y, leaky_alpha)
+            x = y.astype(compute_dtype)
+        elif isinstance(spec, DropoutSpec):
+            if train:
+                if rng is None:
+                    raise ValueError("dropout in train mode needs an rng")
+                rng, sub = jax.random.split(rng)
+                keep = jax.random.bernoulli(sub, 1.0 - spec.rate, x.shape)
+                x = jnp.where(keep, x / (1.0 - spec.rate), 0.0).astype(x.dtype)
+        else:
+            raise TypeError(f"unknown layer spec: {spec!r}")
+        outputs.append(x)
+    return x.astype(jnp.float32), new_state
