@@ -1,0 +1,178 @@
+"""Golden-value and invariance tests for the fused v1/v2 objectives."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolojax.train.losses import (
+    YoloV1LossConfig,
+    YoloV2LossConfig,
+    yolo_v1_loss,
+    yolo_v2_loss,
+)
+
+ANCHORS = ((1.0, 1.0), (3.0, 4.0), (6.0, 6.0))
+
+
+def _logit(p):
+    return float(np.log(p / (1 - p)))
+
+
+def _v2_perfect_head(n, h, w, a, c, gt_xywh, gt_class, anchors):
+    """Build a raw head whose decode reproduces the GT boxes exactly."""
+    head = np.zeros((n, h, w, a, 5 + c), np.float32)
+    head[..., 4] = -20.0  # conf ~ 0 everywhere
+    anc = np.asarray(anchors, np.float32)
+    for i in range(n):
+        for (x, y, bw, bh), cls in zip(gt_xywh[i], gt_class[i]):
+            cx, cy = int(x * w), int(y * h)
+            # best anchor by wh IoU
+            inter = np.minimum(anc, [bw * w, bh * h]).prod(-1)
+            union = anc.prod(-1) + bw * w * bh * h - inter
+            ai = int(np.argmax(inter / union))
+            tx = _logit(np.clip(x * w - cx, 1e-4, 1 - 1e-4))
+            ty = _logit(np.clip(y * h - cy, 1e-4, 1 - 1e-4))
+            tw = np.log(bw * w / anc[ai, 0])
+            th = np.log(bh * h / anc[ai, 1])
+            head[i, cy, cx, ai, :5] = [tx, ty, tw, th, 20.0]
+            head[i, cy, cx, ai, 5:] = -20.0
+            head[i, cy, cx, ai, 5 + cls] = 20.0
+    return head
+
+
+def test_v2_perfect_prediction_near_zero_loss():
+    n, h, w, a, c = 2, 4, 4, 3, 5
+    gt = np.zeros((n, 2, 4), np.float32)
+    gt[:, 0] = [0.3, 0.4, 0.25, 0.25]
+    gt[:, 1] = [0.8, 0.7, 0.1, 0.3]
+    cls = np.asarray([[1, 3]] * n, np.int32)
+    valid = np.ones((n, 2), bool)
+    head = _v2_perfect_head(n, h, w, a, c, gt, cls, ANCHORS)
+    terms = yolo_v2_loss(
+        jnp.asarray(head), ANCHORS, jnp.asarray(gt), jnp.asarray(cls),
+        jnp.asarray(valid))
+    assert float(terms["coord"]) < 1e-4
+    assert float(terms["class"]) < 1e-4
+    assert float(terms["object"]) < 1e-4  # conf ~ 1, IoU ~ 1
+    assert float(terms["noobject"]) < 1e-4  # all other conf ~ 0
+    assert float(terms["total"]) < 5e-4
+
+
+def test_v2_empty_image_only_noobj():
+    n, h, w, a, c = 1, 4, 4, 3, 5
+    head = np.zeros((n, h, w, a, 5 + c), np.float32)  # conf = 0.5 everywhere
+    gt = np.zeros((n, 1, 4), np.float32)
+    cls = np.zeros((n, 1), np.int32)
+    valid = np.zeros((n, 1), bool)
+    terms = yolo_v2_loss(jnp.asarray(head), ANCHORS, jnp.asarray(gt),
+                         jnp.asarray(cls), jnp.asarray(valid))
+    assert float(terms["coord"]) == 0.0
+    assert float(terms["object"]) == 0.0
+    assert float(terms["class"]) == 0.0
+    # noobj: every anchor sigma(0)=0.5 squared * scale 1.0
+    want = 4 * 4 * 3 * 0.25
+    np.testing.assert_allclose(float(terms["noobject"]), want, rtol=1e-5)
+
+
+def test_v2_high_iou_unassigned_escapes_noobj():
+    # Put a GT; an unassigned anchor predicting nearly the same box must be
+    # exempt from the noobj penalty (best IoU > 0.6), while a far-away anchor
+    # with equal confidence is penalized.
+    n, h, w, a, c = 1, 4, 4, 2, 2
+    anchors = ((2.0, 2.0), (2.1, 2.1))  # nearly identical -> both fit GT
+    # center 0.625 = cell 2 + offset 0.5, reproducible by sigma(0)
+    gt = np.asarray([[[0.625, 0.625, 0.5, 0.5]]], np.float32)
+    cls = np.zeros((1, 1), np.int32)
+    valid = np.ones((1, 1), bool)
+    head = np.zeros((n, h, w, a, 5 + c), np.float32)
+    head[..., 4] = -20.0
+    # anchor 1 at the GT cell also decodes to ~the GT box with conf 0.9:
+    # it is NOT the assigned anchor (anchor 1 has higher wh-IoU? make sure
+    # anchor 0 is best: GT wh in grid = 2x2 -> anchor 0 exact match).
+    head[0, 2, 2, 1, 0:4] = [0.0, 0.0, np.log(2.0 / 2.1), np.log(2.0 / 2.1)]
+    head[0, 2, 2, 1, 4] = _logit(0.9)
+    # far-away anchor with same conf
+    head[0, 0, 0, 0, 4] = _logit(0.9)
+    terms_exempt = yolo_v2_loss(
+        jnp.asarray(head), anchors, jnp.asarray(gt), jnp.asarray(cls),
+        jnp.asarray(valid), cfg=YoloV2LossConfig(iou_thresh=0.6))
+    # same but with thresh > 1 -> nothing is exempt
+    terms_strict = yolo_v2_loss(
+        jnp.asarray(head), anchors, jnp.asarray(gt), jnp.asarray(cls),
+        jnp.asarray(valid), cfg=YoloV2LossConfig(iou_thresh=1.1))
+    diff = float(terms_strict["noobject"]) - float(terms_exempt["noobject"])
+    np.testing.assert_allclose(diff, 0.81, rtol=1e-3)  # the 0.9^2 box
+
+
+def test_v2_gradients_finite_and_nonzero():
+    n, h, w, a, c = 2, 4, 4, 3, 5
+    key = jax.random.PRNGKey(0)
+    head = jax.random.normal(key, (n, h, w, a, 5 + c))
+    gt = jnp.asarray([[[0.3, 0.4, 0.2, 0.2]], [[0.6, 0.5, 0.3, 0.4]]])
+    cls = jnp.asarray([[1], [2]], jnp.int32)
+    valid = jnp.ones((n, 1), bool)
+
+    def f(hd):
+        return yolo_v2_loss(hd, ANCHORS, gt, cls, valid)["total"]
+
+    g = jax.grad(f)(head)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def _v1_perfect_flat(n, s, b, c, gt_xywh, gt_class):
+    probs = np.zeros((n, s, s, c), np.float32)
+    conf = np.zeros((n, s, s, b), np.float32)
+    boxes = np.zeros((n, s, s, b, 4), np.float32)
+    for i in range(n):
+        for (x, y, bw, bh), cls in zip(gt_xywh[i], gt_class[i]):
+            cx, cy = int(x * s), int(y * s)
+            probs[i, cy, cx, cls] = 1.0
+            conf[i, cy, cx, 0] = 1.0  # box 0 responsible
+            boxes[i, cy, cx, 0] = [x * s - cx, y * s - cy,
+                                   np.sqrt(bw), np.sqrt(bh)]
+    return np.concatenate(
+        [probs.reshape(n, -1), conf.reshape(n, -1), boxes.reshape(n, -1)], -1)
+
+
+def test_v1_perfect_prediction_near_zero_loss():
+    n, s, b, c = 1, 4, 2, 3
+    gt = np.asarray([[[0.3, 0.4, 0.25, 0.25]]], np.float32)
+    cls = np.asarray([[2]], np.int32)
+    valid = np.ones((1, 1), bool)
+    flat = _v1_perfect_flat(n, s, b, c, gt, cls)
+    terms = yolo_v1_loss(jnp.asarray(flat), s, b, c, jnp.asarray(gt),
+                         jnp.asarray(cls), jnp.asarray(valid))
+    assert float(terms["total"]) < 1e-5
+
+
+def test_v1_noobj_counts_all_other_boxes():
+    n, s, b, c = 1, 2, 2, 2
+    flat = np.zeros((n, s * s * (c + 5 * b)), np.float32)
+    # all confs = 0.7
+    conf_start = s * s * c
+    flat[:, conf_start : conf_start + s * s * b] = 0.7
+    gt = np.zeros((n, 1, 4), np.float32)
+    cls = np.zeros((n, 1), np.int32)
+    valid = np.zeros((n, 1), bool)  # no objects
+    terms = yolo_v1_loss(jnp.asarray(flat), s, b, c, jnp.asarray(gt),
+                         jnp.asarray(cls), jnp.asarray(valid),
+                         cfg=YoloV1LossConfig())
+    want = 0.5 * s * s * b * 0.49  # lambda_noobj * conf^2 for every box
+    np.testing.assert_allclose(float(terms["noobject"]), want, rtol=1e-5)
+    assert float(terms["coord"]) == 0.0
+
+
+def test_v1_gradients_finite():
+    n, s, b, c = 2, 4, 2, 3
+    flat = jax.random.normal(jax.random.PRNGKey(1), (n, s * s * (c + 5 * b)))
+    gt = jnp.asarray([[[0.3, 0.4, 0.2, 0.2]], [[0.6, 0.5, 0.3, 0.4]]])
+    cls = jnp.asarray([[1], [2]], jnp.int32)
+    valid = jnp.ones((n, 1), bool)
+
+    def f(x):
+        return yolo_v1_loss(x, s, b, c, gt, cls, valid)["total"]
+
+    g = jax.grad(f)(flat)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
