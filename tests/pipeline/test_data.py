@@ -1,0 +1,186 @@
+"""Data pipeline tests: VOC cache build, loader batching, on-device
+augmentation determinism + box/geometry consistency."""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolojax.data.augment import (
+    AugmentConfig,
+    augment_batch,
+    hsv_to_rgb,
+    letterbox_host,
+    rgb_to_hsv,
+)
+from yolojax.data.cache import VOC_NAMES, build_cache, load_cache
+from yolojax.data.loader import Loader, LoaderConfig
+
+
+# ---------------------------------------------------------------------------
+# Synthetic VOC fixture
+# ---------------------------------------------------------------------------
+
+
+def _write_voc(root, n_images=6, size=(96, 64)):
+    import cv2
+
+    os.makedirs(os.path.join(root, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets", "Main"), exist_ok=True)
+    ids = []
+    rng = np.random.RandomState(0)
+    for i in range(n_images):
+        img_id = f"{i:06d}"
+        ids.append(img_id)
+        w, h = size
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(os.path.join(root, "JPEGImages", img_id + ".jpg"), img)
+        ann = ET.Element("annotation")
+        sz = ET.SubElement(ann, "size")
+        ET.SubElement(sz, "width").text = str(w)
+        ET.SubElement(sz, "height").text = str(h)
+        for _ in range(rng.randint(1, 4)):
+            obj = ET.SubElement(ann, "object")
+            cls = VOC_NAMES[rng.randint(len(VOC_NAMES))]
+            ET.SubElement(obj, "name").text = cls
+            ET.SubElement(obj, "difficult").text = "0"
+            bb = ET.SubElement(obj, "bndbox")
+            x0, y0 = rng.randint(0, w - 20), rng.randint(0, h - 20)
+            ET.SubElement(bb, "xmin").text = str(x0)
+            ET.SubElement(bb, "ymin").text = str(y0)
+            ET.SubElement(bb, "xmax").text = str(x0 + rng.randint(10, 20))
+            ET.SubElement(bb, "ymax").text = str(y0 + rng.randint(10, 20))
+        ET.ElementTree(ann).write(os.path.join(root, "Annotations", img_id + ".xml"))
+    with open(os.path.join(root, "ImageSets", "Main", "trainval.txt"), "w") as f:
+        f.write("\n".join(ids) + "\n")
+    return ids
+
+
+@pytest.fixture(scope="module")
+def voc_cache(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("voc"))
+    _write_voc(root)
+    out = str(tmp_path_factory.mktemp("cache"))
+    build_cache(out, "trainval", [{"kind": "voc", "root": root,
+                                   "image_set": "trainval"}])
+    return out
+
+
+def test_cache_roundtrip(voc_cache):
+    cache = load_cache(voc_cache, "trainval")
+    assert len(cache) == 6
+    assert cache.names == VOC_NAMES
+    path, boxes, classes = cache.example(0)
+    assert boxes.shape[1] == 4
+    assert (boxes >= 0).all() and (boxes <= 1).all()
+    assert len(boxes) == len(classes)
+
+
+def test_loader_batches_fixed_shape(voc_cache):
+    cache = load_cache(voc_cache, "trainval")
+    cfg = LoaderConfig(batch_size=2, canvas_dim=64, max_boxes=10,
+                       num_threads=2, seed=3)
+    loader = Loader(cache, cfg)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 3
+    imgs, boxes, cls, valid = batches[0]
+    assert imgs.shape == (2, 64, 64, 3) and imgs.dtype == np.float32
+    assert boxes.shape == (2, 10, 4)
+    assert valid.any()
+    # determinism: same (seed, epoch) -> identical batches
+    again = list(loader.epoch(0))
+    for a, b in zip(batches, again):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    # different epoch -> different order
+    other = list(loader.epoch(1))
+    assert not all(
+        np.array_equal(a[0], b[0]) for a, b in zip(batches, other)
+    )
+
+
+def test_letterbox_box_mapping():
+    img = np.zeros((50, 100, 3), np.uint8)  # wide image
+    canvas, (sx, sy, px, py) = letterbox_host(img, 64)
+    assert canvas.shape == (64, 64, 3)
+    # aspect preserved: full width, half height centered
+    assert abs(sx - 1.0) < 0.02 and abs(sy - 0.5) < 0.02
+    # gray bars top/bottom
+    assert abs(float(canvas[0, 0, 0]) - 0.5) < 1e-6
+
+
+def test_hsv_roundtrip():
+    rng = np.random.RandomState(0)
+    rgb = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    back = hsv_to_rgb(rgb_to_hsv(rgb))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(rgb), atol=1e-5)
+
+
+def test_augment_deterministic_and_valid():
+    rng = np.random.RandomState(1)
+    images = jnp.asarray(rng.uniform(0, 1, (4, 64, 64, 3)).astype(np.float32))
+    boxes = jnp.asarray(
+        np.tile(np.asarray([[0.5, 0.5, 0.4, 0.3]], np.float32), (4, 5, 1))
+    )
+    valid = jnp.ones((4, 5), bool)
+    key = jax.random.PRNGKey(42)
+    f = jax.jit(lambda k, i, b, v: augment_batch(k, i, b, v, 32))
+    i1, b1, v1 = f(key, images, boxes, valid)
+    i2, b2, v2 = f(key, images, boxes, valid)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    assert i1.shape == (4, 32, 32, 3)
+    b1 = np.asarray(b1)
+    v1 = np.asarray(v1)
+    # surviving boxes stay inside the unit frame
+    corners_lo = b1[..., :2] - b1[..., 2:] / 2
+    corners_hi = b1[..., :2] + b1[..., 2:] / 2
+    assert (corners_lo[v1] > -1e-5).all()
+    assert (corners_hi[v1] < 1 + 1e-5).all()
+    # different key -> different images
+    i3, _, _ = f(jax.random.PRNGKey(7), images, boxes, valid)
+    assert not np.allclose(np.asarray(i1), np.asarray(i3))
+
+
+def test_augment_no_jitter_identity_geometry():
+    """With zero jitter/color and flip off, augmentation is just a resize."""
+    rng = np.random.RandomState(2)
+    images = jnp.asarray(rng.uniform(0.2, 0.8, (2, 32, 32, 3)).astype(np.float32))
+    boxes = jnp.asarray(
+        np.tile(np.asarray([[0.5, 0.5, 0.5, 0.5]], np.float32), (2, 3, 1))
+    )
+    valid = jnp.ones((2, 3), bool)
+    cfg = AugmentConfig(flip=False, jitter=0.0, hue=0.0,
+                        saturation=1.0, exposure=1.0)
+    img, b, v = augment_batch(jax.random.PRNGKey(0), images, boxes, valid,
+                              32, cfg)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(boxes), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(valid))
+    np.testing.assert_allclose(np.asarray(img), np.asarray(images), atol=1e-3)
+
+
+def test_flip_mirrors_boxes():
+    """Force flip by scanning keys until one flips, then check the mirror."""
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.uniform(0, 1, (1, 16, 16, 3)).astype(np.float32))
+    boxes = jnp.asarray(np.asarray([[[0.25, 0.5, 0.2, 0.2]]], np.float32))
+    valid = jnp.ones((1, 1), bool)
+    cfg = AugmentConfig(flip=True, jitter=0.0, hue=0.0,
+                        saturation=1.0, exposure=1.0)
+    seen_flip = seen_noflip = False
+    for seed in range(20):
+        img, b, v = augment_batch(jax.random.PRNGKey(seed), images, boxes,
+                                  valid, 16, cfg)
+        x = float(b[0, 0, 0])
+        if abs(x - 0.75) < 1e-5:
+            seen_flip = True
+            np.testing.assert_allclose(
+                np.asarray(img[0]), np.asarray(images[0, :, ::-1, :]), atol=1e-3
+            )
+        elif abs(x - 0.25) < 1e-5:
+            seen_noflip = True
+    assert seen_flip and seen_noflip

@@ -1,0 +1,146 @@
+"""Host-side input pipeline: threaded JPEG decode -> letterboxed canvases.
+
+TPU-native replacement for the reference's TFRecord reader + queue runners +
+``tf.train.shuffle_batch`` (SURVEY.md §2 native-capability table). The host
+does the minimum — file read, JPEG decode, one aspect-preserving resize to a
+fixed canvas — on a thread pool with a bounded prefetch queue; all random
+augmentation runs on-device (yolojax/data/augment.py). An optional C++
+decode pool (yolojax/native) can replace the Python workers; the Python
+path is always available as fallback.
+
+Batches are fixed-shape: images (B, canvas, canvas, 3) float32 in [0,1],
+boxes (B, G, 4) normalized xywh on the canvas, classes (B, G) int32,
+valid (B, G) bool. Epoch shuffling is seeded -> reproducible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from yolojax.data.augment import letterbox_host
+from yolojax.data.cache import DatasetCache
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class LoaderConfig:
+    batch_size: int = 32
+    canvas_dim: int = 448   # host letterbox target; device resizes further
+    max_boxes: int = 50     # GT padding (static shapes for jit)
+    num_threads: int = 8    # reference exposed [queue] threads similarly
+    prefetch: int = 4       # batches in flight
+    seed: int = 0
+    stretch: bool = False   # plain-resize instead of letterbox (see §3.3 [L])
+    drop_remainder: bool = True
+
+
+class Loader:
+    """Iterable over one phase of a :class:`DatasetCache`."""
+
+    def __init__(self, cache: DatasetCache, cfg: LoaderConfig):
+        self.cache = cache
+        self.cfg = cfg
+        self._decoder = _default_decoder
+
+    def __len__(self) -> int:
+        n = len(self.cache)
+        b = self.cfg.batch_size
+        return n // b if self.cfg.drop_remainder else (n + b - 1) // b
+
+    # -- single example ----------------------------------------------------
+    def _load_example(self, i: int):
+        path, boxes, classes = self.cache.example(i)
+        img = self._decoder(str(path))
+        canvas, (sx, sy, px, py) = letterbox_host(
+            img, self.cfg.canvas_dim, stretch=self.cfg.stretch
+        )
+        g = self.cfg.max_boxes
+        out_boxes = np.zeros((g, 4), np.float32)
+        out_cls = np.zeros((g,), np.int32)
+        valid = np.zeros((g,), bool)
+        k = min(len(boxes), g)
+        if k:
+            b = boxes[:k].copy()
+            b[:, 0] = b[:, 0] * sx + px
+            b[:, 1] = b[:, 1] * sy + py
+            b[:, 2] = b[:, 2] * sx
+            b[:, 3] = b[:, 3] * sy
+            out_boxes[:k] = b
+            out_cls[:k] = classes[:k]
+            valid[:k] = True
+        return canvas, out_boxes, out_cls, valid
+
+    # -- epoch iteration ---------------------------------------------------
+    def epoch(self, epoch_idx: int = 0, *, shuffle: bool = True) -> Iterator:
+        """Yield batches for one epoch. Deterministic given (seed, epoch)."""
+        n = len(self.cache)
+        order = np.arange(n)
+        if shuffle:
+            rng = np.random.RandomState((self.cfg.seed, epoch_idx))
+            rng.shuffle(order)
+        b = self.cfg.batch_size
+        limit = (n // b) * b if self.cfg.drop_remainder else n
+
+        work_q: "queue.Queue" = queue.Queue()
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.cfg.prefetch)
+        batches = [order[s : s + b] for s in range(0, limit, b)]
+        for bi, idxs in enumerate(batches):
+            work_q.put((bi, idxs))
+        results = {}
+        results_lock = threading.Lock()
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    bi, idxs = work_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    ex = [self._load_example(int(i)) for i in idxs]
+                    imgs, boxes, cls, valid = map(np.stack, zip(*ex))
+                    out_q.put((bi, (imgs, boxes, cls, valid)))
+                except Exception as e:  # surface decode errors, don't hang
+                    out_q.put((bi, e))
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(min(self.cfg.num_threads, max(len(batches), 1)))
+        ]
+        for t in threads:
+            t.start()
+        try:
+            # Re-order: batches may complete out of order across threads.
+            next_bi = 0
+            pending = {}
+            for _ in range(len(batches)):
+                bi, payload = out_q.get()
+                pending[bi] = payload
+                while next_bi in pending:
+                    p = pending.pop(next_bi)
+                    if isinstance(p, Exception):
+                        raise p
+                    yield p
+                    next_bi += 1
+        finally:
+            stop.set()
+
+    def __iter__(self):
+        return self.epoch(0)
+
+
+def _default_decoder(path: str) -> np.ndarray:
+    """Decode an image file to RGB uint8 HWC."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
