@@ -1,0 +1,94 @@
+"""Device mesh + sharding rules (the rebuild's entire "distributed backend").
+
+The reference was strictly 1 process x 1 device (SURVEY.md §2 parallelism
+inventory). TPU-native scaling is expressed declaratively: build a
+``jax.sharding.Mesh`` over ("data", "model"), annotate array shardings, and
+let XLA GSPMD insert the collectives (psum for grads over ICI, all-gather
+where a model-sharded weight feeds a replicated op). No NCCL/MPI equivalent
+exists or is needed — this module *is* the communication layer.
+
+Shardings used:
+  * batch arrays: P("data") on the leading axis (pure DP)
+  * fat conv weights (out_channels >= threshold): P(None, None, None,
+    "model") — optional tensor parallelism over output channels for the
+    1024-wide detection convs; everything else replicated.
+
+TP/PP/SP/EP beyond this are N/A for a 20-layer convnet with no attention
+and no sequence axis — a deliberate scope decision, not an oversight
+(SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    *,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """1-D or 2-D mesh over the given devices (default: all local devices).
+
+    data * model must equal len(devices); data defaults to the remainder.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if data is None:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def param_shardings(
+    mesh: Mesh, params: Dict[str, Any], *, tp_threshold: int = 1024
+) -> Dict[str, Any]:
+    """Per-leaf shardings: conv kernels with >= tp_threshold output channels
+    are sharded over the "model" axis (tensor parallelism); all else
+    replicated. With model=1 this degrades to pure replication."""
+    tp_size = mesh.shape["model"]
+
+    def rule(path, leaf):
+        if (
+            tp_size > 1
+            and leaf.ndim == 4
+            and leaf.shape[-1] >= tp_threshold
+            and leaf.shape[-1] % tp_size == 0
+        ):
+            return NamedSharding(mesh, P(None, None, None, "model"))
+        if (
+            tp_size > 1
+            and leaf.ndim == 1
+            and leaf.shape[0] >= tp_threshold
+            and leaf.shape[0] % tp_size == 0
+        ):
+            # BN scale/bias/mean/var attached to a tp-sharded conv
+            return NamedSharding(mesh, P("model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """device_put a host batch with the leading axis sharded over "data"."""
+    s = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)

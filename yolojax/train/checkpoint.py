@@ -1,0 +1,68 @@
+"""Checkpoint / resume via Orbax (step-numbered dirs, restore-latest).
+
+Replaces the reference's ``tf.train.Saver`` periodic save + automatic
+``latest_checkpoint`` restore on train.py restart (SURVEY.md §5 checkpoint/
+resume). Same failure-recovery contract: a crash means restart; restart is
+idempotent from the latest step.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+log = logging.getLogger(__name__)
+
+
+class Checkpointer:
+    def __init__(self, directory: str, *, max_to_keep: int = 5,
+                 save_interval_steps: int = 1):
+        import os
+
+        self._dir = os.path.abspath(directory)
+        os.makedirs(self._dir, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self._dir,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+                create=True,
+            ),
+        )
+
+    def save(self, step: int, train_state: Any, *, force: bool = False) -> bool:
+        saved = self._mgr.save(
+            int(step),
+            args=ocp.args.StandardSave(train_state),
+            force=force,
+        )
+        if saved:
+            log.info("saved checkpoint step=%d -> %s", int(step), self._dir)
+        return saved
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore_latest(self, template: Any) -> Tuple[Optional[int], Any]:
+        """Restore the newest checkpoint into the shape/sharding of
+        ``template`` (an abstract or concrete train state). Returns
+        (step, state) or (None, template) when no checkpoint exists."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None, template
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                          template)
+        state = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract)
+        )
+        log.info("restored checkpoint step=%d from %s", step, self._dir)
+        return step, state
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()

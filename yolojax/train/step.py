@@ -1,0 +1,196 @@
+"""Training step: fused augment -> forward -> loss -> grad -> update.
+
+Replaces the reference's ``train.py`` graph build + ``sess.run(train_op)``
+loop (SURVEY.md §3.2). One jitted function per input dim carries the whole
+step; under a sharded-batch jit, XLA inserts the gradient all-reduce over
+ICI automatically (no explicit psum needed — GSPMD derives it from the
+replicated-param / sharded-batch layout).
+
+Multi-scale training (BASELINE config 4) is handled by compiling one step
+variant per input dim (bucketed static shapes, SURVEY.md §5 long-axis note);
+``MultiScaleSchedule`` cycles dims the way Darknet resized every 10 batches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from yolojax.data.augment import AugmentConfig, augment_batch
+from yolojax.models import Model
+from yolojax.train.losses import (
+    YoloV1LossConfig,
+    YoloV2LossConfig,
+    yolo_v1_loss,
+    yolo_v2_loss,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Mirrors the reference's [train] INI section (SURVEY.md §2: optimizer
+    selection Adam/momentum/RMSProp, learning rate, gradient clipping)."""
+
+    optimizer: str = "momentum"  # adam | momentum | rmsprop | sgd | adamw
+    learning_rate: float = 1e-3
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    grad_clip_norm: float = 0.0  # 0 disables
+    # schedule: constant | exponential | cosine | steps
+    schedule: str = "constant"
+    decay_steps: int = 100_000
+    decay_rate: float = 0.1
+    warmup_steps: int = 0
+    # "steps" schedule: scale lr by gamma at each boundary (Darknet-style)
+    boundaries: Tuple[int, ...] = ()
+    gamma: float = 0.1
+
+
+def make_schedule(cfg: OptimizerConfig) -> optax.Schedule:
+    base = cfg.learning_rate
+    if cfg.schedule == "constant":
+        sched = optax.constant_schedule(base)
+    elif cfg.schedule == "exponential":
+        sched = optax.exponential_decay(base, cfg.decay_steps, cfg.decay_rate)
+    elif cfg.schedule == "cosine":
+        sched = optax.cosine_decay_schedule(base, cfg.decay_steps)
+    elif cfg.schedule == "steps":
+        sched = optax.piecewise_constant_schedule(
+            base, {int(b): cfg.gamma for b in cfg.boundaries}
+        )
+    else:
+        raise ValueError(f"unknown schedule {cfg.schedule!r}")
+    if cfg.warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, base, cfg.warmup_steps)
+        sched = optax.join_schedules([warm, sched], [cfg.warmup_steps])
+    return sched
+
+
+def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
+    sched = make_schedule(cfg)
+    name = cfg.optimizer.lower()
+    if name == "adam":
+        tx = optax.adam(sched)
+    elif name == "adamw":
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+    elif name == "momentum":
+        tx = optax.sgd(sched, momentum=cfg.momentum)
+    elif name == "sgd":
+        tx = optax.sgd(sched)
+    elif name == "rmsprop":
+        tx = optax.rmsprop(sched, momentum=cfg.momentum)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    chain = []
+    if cfg.grad_clip_norm > 0:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    if cfg.weight_decay > 0 and name in ("momentum", "sgd", "rmsprop"):
+        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+    chain.append(tx)
+    return optax.chain(*chain)
+
+
+class TrainState(NamedTuple):
+    step: jax.Array  # scalar int32
+    params: Any
+    bn_state: Any
+    opt_state: Any
+
+
+def init_train_state(
+    model: Model, tx: optax.GradientTransformation, key: jax.Array, input_dim: int
+) -> TrainState:
+    params, bn_state = model.init(key, input_dim)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        bn_state=bn_state,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(
+    model: Model,
+    tx: optax.GradientTransformation,
+    *,
+    loss_cfg=None,
+    aug_cfg: AugmentConfig = AugmentConfig(),
+    augment: bool = True,
+    compute_dtype=jnp.bfloat16,
+):
+    """Build the fused train step fn(state, batch, rng, dim) -> (state, metrics).
+
+    ``batch`` = (canvas_images, gt_xywh, gt_class, gt_valid); ``dim`` is the
+    static input dim for this compiled variant (multi-scale bucketing).
+    """
+    if loss_cfg is None:
+        loss_cfg = (
+            YoloV2LossConfig() if model.kind == "v2" else YoloV1LossConfig()
+        )
+
+    def loss_from_head(head, gt_xywh, gt_class, gt_valid):
+        if model.kind == "v2":
+            return yolo_v2_loss(
+                head, model.anchors, gt_xywh, gt_class, gt_valid, loss_cfg
+            )
+        return yolo_v1_loss(
+            head, model.grid, model.boxes_per_cell, model.num_classes,
+            gt_xywh, gt_class, gt_valid, loss_cfg,
+        )
+
+    @partial(jax.jit, static_argnames=("dim",), donate_argnums=(0,))
+    def train_step(ts: TrainState, batch, rng: jax.Array, dim: int):
+        images, gt_xywh, gt_class, gt_valid = batch
+        rng = jax.random.fold_in(rng, ts.step)
+        rng_aug, rng_drop = jax.random.split(rng)
+        if augment:
+            images, gt_xywh, gt_valid = augment_batch(
+                rng_aug, images, gt_xywh, gt_valid, dim, aug_cfg
+            )
+        elif images.shape[1] != dim:
+            images = jax.image.resize(
+                images, (images.shape[0], dim, dim, 3), "linear"
+            )
+        images = images.astype(compute_dtype)
+
+        def loss_fn(params):
+            head, new_bn = model.apply(
+                params, ts.bn_state, images, train=True, rng=rng_drop,
+                compute_dtype=compute_dtype,
+            )
+            terms = loss_from_head(head, gt_xywh, gt_class, gt_valid)
+            return terms["total"], (terms, new_bn)
+
+        grads, (terms, new_bn) = jax.grad(loss_fn, has_aux=True)(ts.params)
+        updates, new_opt = tx.update(grads, ts.opt_state, ts.params)
+        new_params = optax.apply_updates(ts.params, updates)
+        metrics = {k: v for k, v in terms.items()}
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(ts.step + 1, new_params, new_bn, new_opt),
+            metrics,
+        )
+
+    return train_step
+
+
+@dataclasses.dataclass
+class MultiScaleSchedule:
+    """Darknet-style multi-scale input schedule: cycle through dims every
+    ``every`` steps, pseudo-randomly but deterministically (BASELINE cfg 4).
+    Static-shape friendly: callers pre-compile one step per dim."""
+
+    dims: Tuple[int, ...] = tuple(range(320, 609, 32))
+    every: int = 10
+    seed: int = 0
+
+    def dim_at(self, step: int) -> int:
+        period = step // self.every
+        # cheap deterministic LCG so dims don't just cycle in order
+        h = (period * 2654435761 + self.seed) & 0xFFFFFFFF
+        return self.dims[h % len(self.dims)]
