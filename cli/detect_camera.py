@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Camera detection loop — CLI-compatible with the reference's
+``detect_camera.py`` (SURVEY.md §2): same detect path as cli/detect.py in an
+OpenCV capture loop.
+
+Usage: python3 cli/detect_camera.py -c config.ini --weights W [--camera 0]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yolojax.utils.cli import make_parser, setup  # noqa: E402
+
+
+def main():
+    parser = make_parser(__doc__)
+    parser.add_argument("--weights", required=True)
+    parser.add_argument("--camera", type=int, default=0)
+    parser.add_argument("--max-frames", type=int, default=0,
+                        help="stop after N frames (0 = until q pressed)")
+    args = parser.parse_args()
+    cfg = setup(args)
+
+    import time
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolojax.data.augment import letterbox_host
+    from yolojax.eval.evaluator import make_infer_fn
+    from yolojax.utils.restore import load_weights
+
+    model = cfg.build_model()
+    names = cfg.names()
+    dim = cfg.model.dim
+    params, bn_state = load_weights(args.weights, model, dim)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
+    infer = make_infer_fn(
+        model, score_thresh=cfg.detect.threshold,
+        iou_thresh=cfg.detect.nms_iou, top_k=cfg.detect.top_k,
+        use_pallas=cfg.detect.use_pallas,
+    )
+
+    cap = cv2.VideoCapture(args.camera)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open camera {args.camera}")
+    frames = 0
+    t0 = time.perf_counter()
+    try:
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+            canvas, (sx, sy, px, py) = letterbox_host(rgb, dim)
+            out = jax.device_get(
+                infer(params, bn_state, jnp.asarray(canvas[None]))
+            )
+            h, w = frame.shape[:2]
+            for d in np.where(out["keep"][0])[0]:
+                y0, x0, y1, x1 = out["boxes"][0, d]
+                x0 = int((x0 - px) / sx * w)
+                x1 = int((x1 - px) / sx * w)
+                y0 = int((y0 - py) / sy * h)
+                y1 = int((y1 - py) / sy * h)
+                cls = int(out["classes"][0, d])
+                score = float(out["scores"][0, d])
+                cv2.rectangle(frame, (x0, y0), (x1, y1), (0, 255, 0), 2)
+                cv2.putText(frame, f"{names[cls]} {score:.2f}",
+                            (x0, max(y0 - 4, 10)), cv2.FONT_HERSHEY_SIMPLEX,
+                            0.5, (0, 255, 0), 1)
+            frames += 1
+            fps = frames / (time.perf_counter() - t0)
+            cv2.putText(frame, f"{fps:.1f} fps", (8, 20),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 255, 255), 2)
+            cv2.imshow("yolojax", frame)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                break
+            if args.max_frames and frames >= args.max_frames:
+                break
+    finally:
+        cap.release()
+        cv2.destroyAllWindows()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Batched validation: device inference + on-device NMS -> VOC mAP
+(BASELINE config 2). The reference had no eval CLI (quality checked by eye,
+SURVEY.md §4); this implements the protocol its mAP targets are scored by.
+
+Usage: python3 cli/eval.py -c config.ini --weights W [--phase test]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yolojax.utils.cli import make_parser, setup  # noqa: E402
+
+
+def main():
+    parser = make_parser(__doc__)
+    parser.add_argument("--weights", required=True)
+    parser.add_argument("--phase", default="test")
+    parser.add_argument("--max-batches", type=int, default=0)
+    args = parser.parse_args()
+    cfg = setup(args)
+
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolojax.data.cache import load_cache
+    from yolojax.eval.evaluator import evaluate_model
+    from yolojax.utils.restore import load_weights
+
+    model = cfg.build_model()
+    params, bn_state = load_weights(args.weights, model, cfg.model.dim)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
+    cache = load_cache(cfg.cache.basedir, args.phase)
+    metrics = evaluate_model(
+        model, params, bn_state, cache,
+        input_dim=cfg.model.dim,
+        batch_size=cfg.eval.batch_size,
+        nms_iou=cfg.detect.nms_iou,
+        top_k=cfg.detect.top_k,
+        map_iou=cfg.eval.map_iou,
+        use_pallas=cfg.detect.use_pallas,
+        compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
+        else jnp.bfloat16,
+        max_batches=args.max_batches or None,
+        stretch=cfg.detect.stretch,
+    )
+    names = cfg.names()
+    for c, name in enumerate(names):
+        if f"ap_{c}" in metrics:
+            print(f"AP {name:>16s}: {metrics[f'ap_{c}']:.4f}")
+    print(f"mAP@{cfg.eval.map_iou}: {metrics['map']:.4f} "
+          f"({metrics['num_images']} images)")
+    print(json.dumps({k: v for k, v in metrics.items()}))
+
+
+if __name__ == "__main__":
+    main()

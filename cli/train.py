@@ -1,0 +1,175 @@
+#!/usr/bin/env python3
+"""Training driver — CLI-compatible with the reference's ``train.py``
+(SURVEY.md §3.2): build input pipeline + model + loss + optimizer, restore
+the latest checkpoint from logdir, run the step loop with summary and
+checkpoint hooks.
+
+TPU-native shape: one jitted train step per input dim (multi-scale buckets),
+batch sharded over a (data, model) device mesh, gradients all-reduced by
+XLA over ICI, Orbax checkpoints, jsonl metrics.
+
+Usage: python3 cli/train.py -c config.ini [overrides...]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yolojax.utils.cli import make_parser, setup  # noqa: E402
+
+
+def main():
+    parser = make_parser(__doc__)
+    parser.add_argument("--init-weights", default="",
+                        help="npz params (converted Darknet/TF1) to start from")
+    parser.add_argument("--transfer", default="",
+                        help="comma list of param names to re-init (e.g. the "
+                             "head conv when transferring across class counts)")
+    args = parser.parse_args()
+    cfg = setup(args)
+
+    import itertools
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolojax.convert.store import load_params_npz
+    from yolojax.data.cache import load_cache
+    from yolojax.data.loader import Loader
+    from yolojax.parallel.mesh import make_mesh, replicated, shard_batch
+    from yolojax.train.checkpoint import Checkpointer
+    from yolojax.train.step import (
+        MultiScaleSchedule,
+        TrainState,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+    from yolojax.utils.metrics import MetricsLogger
+    from yolojax.utils.profiling import StepTimer, enable_debug_nans, profile_trace
+
+    log = logging.getLogger("train")
+    tcfg = cfg.train
+    if tcfg.debug_nans:
+        enable_debug_nans(True)
+
+    model = cfg.build_model()
+    logdir = os.path.join(
+        tcfg.logdir, f"{cfg.model.model}_{cfg.model.inference}"
+    )
+    os.makedirs(logdir, exist_ok=True)
+
+    # ---- data --------------------------------------------------------------
+    cache = load_cache(cfg.cache.basedir, "train")
+    loader = Loader(cache, cfg.queue)
+    if len(loader) == 0:
+        raise SystemExit(
+            f"cache has {len(cache)} images < batch_size "
+            f"{cfg.queue.batch_size}; no full batch per epoch"
+        )
+    log.info("train cache: %d images, %d classes", len(cache),
+             model.num_classes)
+
+    # ---- mesh + state -------------------------------------------------------
+    mesh = make_mesh(
+        data=(tcfg.mesh_data or None), model=tcfg.mesh_model
+    )
+    log.info("mesh: %s over %d devices (%s)", dict(mesh.shape),
+             len(mesh.devices.flat), jax.devices()[0].platform)
+    tx = make_optimizer(cfg.optimizer)
+    ts = init_train_state(model, tx, jax.random.PRNGKey(tcfg.seed),
+                          cfg.model.dim)
+    if args.init_weights:
+        params, bn_state = load_params_npz(args.init_weights)
+        drop = set(filter(None, args.transfer.split(",")))
+        merged = dict(ts.params)
+        for k, v in params.items():
+            if k not in drop:
+                merged[k] = jax.tree_util.tree_map(jnp.asarray, v)
+        merged_state = dict(ts.bn_state)
+        for k, v in bn_state.items():
+            if k not in drop:
+                merged_state[k] = jax.tree_util.tree_map(jnp.asarray, v)
+        ts = ts._replace(params=merged, bn_state=merged_state)
+        log.info("initialized from %s (re-init: %s)", args.init_weights,
+                 sorted(drop) or "none")
+
+    ckpt = Checkpointer(os.path.join(logdir, "ckpt"),
+                        save_interval_steps=tcfg.save_steps)
+    start_step, ts = ckpt.restore_latest(ts)
+    if start_step is not None:
+        log.info("resumed from step %d", start_step)
+    ts = jax.device_put(ts, replicated(mesh))
+
+    compute_dtype = jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
+    step_fn = make_train_step(
+        model, tx, loss_cfg=cfg.loss_config(), aug_cfg=cfg.augment,
+        augment=True, compute_dtype=compute_dtype,
+    )
+    msched = (
+        MultiScaleSchedule(
+            dims=tuple(range(tcfg.multi_scale_min, tcfg.multi_scale_max + 1,
+                             model.downsample)),
+            every=tcfg.multi_scale_every, seed=tcfg.seed,
+        )
+        if tcfg.multi_scale and model.kind == "v2"
+        else None
+    )
+
+    metrics_log = MetricsLogger(logdir, tensorboard=tcfg.tensorboard)
+    rng = jax.random.PRNGKey(tcfg.seed + 1)
+    timer = StepTimer()
+
+    def batches():
+        for epoch in itertools.count():
+            yield from loader.epoch(epoch)
+
+    batch_iter = batches()
+    step0 = int(ts.step)
+    log.info("training from step %d to %d", step0, tcfg.steps)
+    with mesh:
+        for step_i in range(step0, tcfg.steps):
+            batch = shard_batch(mesh, next(batch_iter))
+            dim = msched.dim_at(step_i) if msched else cfg.model.dim
+            trace_ctx = (
+                profile_trace(os.path.join(logdir, "profile"))
+                if tcfg.profile_steps and step_i == tcfg.profile_steps
+                else None
+            )
+            with timer:
+                if trace_ctx:
+                    with trace_ctx:
+                        ts, m = step_fn(ts, batch, rng, dim=dim)
+                        jax.block_until_ready(m["total"])
+                else:
+                    ts, m = step_fn(ts, batch, rng, dim=dim)
+            if (step_i + 1) % tcfg.summary_steps == 0:
+                m_host = {k: float(v) for k, v in jax.device_get(m).items()}
+                imgs_per_sec = cfg.queue.batch_size / timer.last
+                m_host["images_per_sec"] = imgs_per_sec
+                m_host["dim"] = dim
+                metrics_log.log(step_i + 1, m_host)
+                log.info(
+                    "step %d dim %d loss %.4f (coord %.3f obj %.3f noobj %.3f "
+                    "cls %.3f) %.1f img/s", step_i + 1, dim, m_host["total"],
+                    m_host["coord"], m_host["object"], m_host["noobject"],
+                    m_host["class"], imgs_per_sec,
+                )
+            if tcfg.image_summary_steps and (
+                (step_i + 1) % tcfg.image_summary_steps == 0
+            ):
+                imgs, boxes, _, valid = jax.device_get(batch)
+                metrics_log.log_image_with_boxes(
+                    step_i + 1, imgs[0], boxes[0], valid[0]
+                )
+            ckpt.save(step_i + 1, jax.device_get(ts))
+    ckpt.save(tcfg.steps, jax.device_get(ts), force=True)
+    ckpt.wait()
+    log.info("done: %d steps, mean %.3fs/step", tcfg.steps - step0, timer.mean)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,162 @@
+"""End-to-end CLI tests: cache -> train -> detect -> eval -> demo -> convert,
+all through the real entry points (in-process, CPU backend, tiny dims)."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from tests.util import write_synthetic_voc
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("ws")
+    voc = ws / "voc"
+    write_synthetic_voc(str(voc), n_images=8, size=(96, 64))
+    ini = ws / "test.ini"
+    ini.write_text(f"""
+[model]
+model = yolo2
+inference = tiny
+dim = 64
+names_file = {REPO}/config/names/voc.txt
+anchors = 1.08,1.19 3.42,4.41
+
+[cache]
+basedir = {ws}/cache
+train = voc:{voc}:trainval
+test = voc:{voc}:test
+
+[queue]
+batch_size = 8
+canvas_dim = 64
+max_boxes = 8
+num_threads = 2
+
+[train]
+logdir = {ws}/logdir
+steps = 3
+save_steps = 2
+summary_steps = 1
+compute_dtype = float32
+optimizer = sgd
+learning_rate = 1e-4
+weight_decay = 0
+
+[detect]
+threshold = 0.05
+top_k = 128
+use_pallas = never
+
+[eval]
+batch_size = 4
+""")
+    return ws
+
+
+def _run(module, argv, monkeypatch):
+    import importlib
+
+    mod = importlib.import_module(module)
+    monkeypatch.setattr(sys, "argv", [module] + argv)
+    mod.main()
+
+
+def test_01_cache(workspace, monkeypatch, capsys):
+    _run("cli.cache", ["-c", str(workspace / "test.ini")], monkeypatch)
+    out = capsys.readouterr().out
+    assert "train: 8 images" in out
+    assert os.path.exists(workspace / "cache" / "train.npz")
+    assert os.path.exists(workspace / "cache" / "test.npz")
+
+
+def test_02_train(workspace, monkeypatch):
+    _run("cli.train", ["-c", str(workspace / "test.ini")], monkeypatch)
+    logdir = workspace / "logdir" / "yolo2_tiny"
+    assert (logdir / "ckpt").is_dir()
+    metrics = [json.loads(l) for l in open(logdir / "metrics.jsonl")]
+    assert len(metrics) >= 3
+    assert np.isfinite(metrics[-1]["total"])
+
+
+def test_03_train_resumes(workspace, monkeypatch):
+    # bump steps to 5: must resume from step 3, not restart
+    _run("cli.train", ["-c", str(workspace / "test.ini"), "train.steps=5"],
+         monkeypatch)
+    logdir = workspace / "logdir" / "yolo2_tiny"
+    metrics = [json.loads(l) for l in open(logdir / "metrics.jsonl")]
+    steps = [m["step"] for m in metrics]
+    assert max(steps) == 5
+    # resumed run logged steps 4,5 only (3 already done)
+    assert steps.count(4) == 1
+
+
+def test_04_detect(workspace, monkeypatch, capsys):
+    img = str(workspace / "voc" / "JPEGImages" / "000000.jpg")
+    out_img = str(workspace / "det.png")
+    _run("cli.detect", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--image", img, "--out", out_img,
+        "detect.threshold=0.0001",
+    ], monkeypatch)
+    assert os.path.exists(out_img)
+
+
+def test_05_eval(workspace, monkeypatch, capsys):
+    _run("cli.eval", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--phase", "test",
+    ], monkeypatch)
+    out = capsys.readouterr().out
+    assert "mAP@0.5" in out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert rec["num_images"] == 8
+    assert 0.0 <= rec["map"] <= 1.0
+
+
+def test_06_demo_augmentation(workspace, monkeypatch, capsys):
+    out_png = str(workspace / "aug.png")
+    _run("cli.demo_data_augmentation", [
+        "-c", str(workspace / "test.ini"), "--out", out_png,
+        "--rows", "2", "--cols", "2",
+    ], monkeypatch)
+    assert os.path.exists(out_png)
+
+
+def test_07_convert_roundtrip_cli(workspace, monkeypatch, capsys):
+    # export random-init weights to darknet format, convert back via CLI
+    import jax
+
+    from yolojax.config import load_config
+    from yolojax.convert.darknet import save_darknet_weights
+    from yolojax.convert.store import load_params_npz
+
+    cfg = load_config([str(workspace / "test.ini")])
+    model = cfg.build_model()
+    params, state = model.init(jax.random.PRNGKey(0), 64)
+    wpath = str(workspace / "model.weights")
+    save_darknet_weights(model, params, state, wpath)
+
+    npz = str(workspace / "model.npz")
+    _run("cli.parse_darknet", [
+        "-c", str(workspace / "test.ini"), wpath, "-o", npz,
+    ], monkeypatch)
+    out = capsys.readouterr().out
+    assert "converted" in out
+    p2, s2 = load_params_npz(npz)
+    np.testing.assert_array_equal(
+        np.asarray(params["conv_0"]["w"]), p2["conv_0"]["w"])
+
+    # detect must accept raw .weights directly too
+    img = str(workspace / "voc" / "JPEGImages" / "000001.jpg")
+    _run("cli.detect", [
+        "-c", str(workspace / "test.ini"), "--weights", wpath,
+        "--image", img,
+    ], monkeypatch)

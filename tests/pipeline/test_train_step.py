@@ -172,3 +172,16 @@ def test_optimizer_schedules():
         st = tx.init(params)
         up, _ = tx.update({"w": jnp.ones((3,))}, st, params)
         assert np.isfinite(np.asarray(up["w"])).all()
+
+
+def test_train_step_bf16_compute():
+    """Mixed-precision path must be differentiable (regression: fp32-out
+    bf16-in conv broke the VJP with a dtype mismatch)."""
+    model = micro_model()
+    tx = make_optimizer(OptimizerConfig(optimizer="sgd", learning_rate=1e-3,
+                                        weight_decay=0.0))
+    ts = init_train_state(model, tx, jax.random.PRNGKey(0), 32)
+    step = make_train_step(model, tx, augment=True,
+                           compute_dtype=jnp.bfloat16)
+    ts, m = step(ts, _batch(), jax.random.PRNGKey(1), dim=32)
+    assert np.isfinite(float(m["total"]))

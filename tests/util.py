@@ -1,0 +1,48 @@
+"""Shared test fixtures: synthetic VOC dataset writer."""
+
+import os
+import xml.etree.ElementTree as ET
+
+import numpy as np
+
+from yolojax.data.cache import VOC_NAMES
+
+
+def write_synthetic_voc(root, n_images=6, size=(96, 64), seed=0,
+                        boxes_per_image=(1, 4)):
+    """Write a minimal VOC devkit layout with random images + boxes."""
+    import cv2
+
+    os.makedirs(os.path.join(root, "Annotations"), exist_ok=True)
+    os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
+    os.makedirs(os.path.join(root, "ImageSets", "Main"), exist_ok=True)
+    ids = []
+    rng = np.random.RandomState(seed)
+    for i in range(n_images):
+        img_id = f"{i:06d}"
+        ids.append(img_id)
+        w, h = size
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(os.path.join(root, "JPEGImages", img_id + ".jpg"), img)
+        ann = ET.Element("annotation")
+        sz = ET.SubElement(ann, "size")
+        ET.SubElement(sz, "width").text = str(w)
+        ET.SubElement(sz, "height").text = str(h)
+        for _ in range(rng.randint(*boxes_per_image)):
+            obj = ET.SubElement(ann, "object")
+            cls = VOC_NAMES[rng.randint(len(VOC_NAMES))]
+            ET.SubElement(obj, "name").text = cls
+            ET.SubElement(obj, "difficult").text = "0"
+            bb = ET.SubElement(obj, "bndbox")
+            x0, y0 = rng.randint(0, w - 24), rng.randint(0, h - 24)
+            ET.SubElement(bb, "xmin").text = str(x0)
+            ET.SubElement(bb, "ymin").text = str(y0)
+            ET.SubElement(bb, "xmax").text = str(x0 + rng.randint(12, 24))
+            ET.SubElement(bb, "ymax").text = str(y0 + rng.randint(12, 24))
+        ET.ElementTree(ann).write(
+            os.path.join(root, "Annotations", img_id + ".xml"))
+    for image_set in ("trainval", "test"):
+        with open(os.path.join(root, "ImageSets", "Main",
+                               image_set + ".txt"), "w") as f:
+            f.write("\n".join(ids) + "\n")
+    return ids

@@ -1,0 +1,106 @@
+"""Batched validation: device inference + on-device NMS -> host VOC mAP.
+
+BASELINE config 2: YOLOv2 batched 416 inference + batched NMS over VOC val.
+The device loop is one jitted fn (forward + decode + top-K + NMS); only the
+kept detections cross back to the host, where boxes are un-letterboxed to
+original image coordinates and fed to compute_map.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yolojax.data.cache import DatasetCache
+from yolojax.data.loader import Loader, LoaderConfig
+from yolojax.eval.voc_map import compute_map
+from yolojax.models import Model
+from yolojax.postprocess.nms import postprocess_v1, postprocess_v2
+
+log = logging.getLogger(__name__)
+
+
+def make_infer_fn(model: Model, *, score_thresh: float, iou_thresh: float,
+                  top_k: int, use_pallas: str = "auto",
+                  compute_dtype=jnp.bfloat16):
+    """jitted images -> {boxes, scores, classes, keep} (all fixed shape)."""
+
+    @jax.jit
+    def infer(params, bn_state, images):
+        head, _ = model.apply(params, bn_state, images,
+                              compute_dtype=compute_dtype)
+        if model.kind == "v2":
+            return postprocess_v2(
+                head, model.anchors, score_thresh=score_thresh,
+                iou_thresh=iou_thresh, top_k=top_k, use_pallas=use_pallas,
+            )
+        return postprocess_v1(
+            head, model.grid, model.boxes_per_cell, model.num_classes,
+            score_thresh=score_thresh, iou_thresh=iou_thresh, top_k=top_k,
+            use_pallas=use_pallas,
+        )
+
+    return infer
+
+
+def evaluate_model(
+    model: Model,
+    params,
+    bn_state,
+    cache: DatasetCache,
+    *,
+    input_dim: int,
+    batch_size: int = 32,
+    score_thresh: float = 0.005,  # low threshold for proper PR curves
+    nms_iou: float = 0.45,
+    top_k: int = 256,
+    map_iou: float = 0.5,
+    use_pallas: str = "auto",
+    compute_dtype=jnp.bfloat16,
+    max_batches: Optional[int] = None,
+    stretch: bool = False,
+) -> Dict[str, float]:
+    """Run detection over a cached phase and return VOC AP metrics."""
+    loader = Loader(
+        cache,
+        LoaderConfig(batch_size=batch_size, canvas_dim=input_dim,
+                     max_boxes=64, stretch=stretch, drop_remainder=False,
+                     num_threads=8),
+    )
+    infer = make_infer_fn(model, score_thresh=score_thresh,
+                          iou_thresh=nms_iou, top_k=top_k,
+                          use_pallas=use_pallas, compute_dtype=compute_dtype)
+    detections = []
+    ground_truth = []
+    img_id = 0
+    for bi, (images, boxes, classes, valid) in enumerate(loader.epoch(0, shuffle=False)):
+        if max_batches is not None and bi >= max_batches:
+            break
+        out = jax.device_get(infer(params, bn_state, jnp.asarray(images)))
+        for k in range(images.shape[0]):
+            # GT (already in canvas coords; consistent with detections)
+            for gi in range(boxes.shape[1]):
+                if valid[k, gi]:
+                    cx, cy, w, h = boxes[k, gi]
+                    ground_truth.append(
+                        (img_id, int(classes[k, gi]),
+                         np.asarray([cy - h / 2, cx - w / 2,
+                                     cy + h / 2, cx + w / 2])))
+            keep = out["keep"][k]
+            for d in np.where(keep)[0]:
+                detections.append(
+                    (img_id, int(out["classes"][k, d]),
+                     float(out["scores"][k, d]), out["boxes"][k, d]))
+            img_id += 1
+    log.info("eval: %d images, %d detections, %d gt boxes",
+             img_id, len(detections), len(ground_truth))
+    metrics = compute_map(detections, ground_truth, model.num_classes,
+                          iou_thresh=map_iou)
+    metrics["num_images"] = img_id
+    metrics["num_detections"] = len(detections)
+    return metrics

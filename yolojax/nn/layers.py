@@ -121,8 +121,11 @@ def conv2d(
 ) -> jax.Array:
     """NHWC x HWIO conv with Darknet-compatible explicit padding.
 
-    Inputs are cast to ``compute_dtype`` (bf16 by default — MXU native) and
-    accumulated in fp32 via ``preferred_element_type``.
+    Inputs are cast to ``compute_dtype`` (bf16 by default — MXU native);
+    the output is upcast to fp32 for the BN/bias epilogue. Accumulation
+    stays fp32 inside the MXU regardless of the bf16 output dtype; we do
+    NOT use ``preferred_element_type`` because a fp32-out/bf16-in conv
+    breaks JAX's conv transpose (VJP) with a dtype mismatch.
     """
     k = w.shape[0]
     pad_h = _darknet_padding(x.shape[1], k, stride)
@@ -133,8 +136,7 @@ def conv2d(
         window_strides=(stride, stride),
         padding=(pad_h, pad_w),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
+    ).astype(jnp.float32)
 
 
 def batch_norm(
@@ -343,8 +345,7 @@ def apply_network(
             y = jnp.dot(
                 x.astype(compute_dtype),
                 layer["w"].astype(compute_dtype),
-                preferred_element_type=jnp.float32,
-            )
+            ).astype(jnp.float32)
             y = y + layer["b"].astype(jnp.float32)
             if spec.act == "leaky":
                 y = leaky_relu(y, leaky_alpha)

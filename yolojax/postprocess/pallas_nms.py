@@ -33,13 +33,17 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_CHUNK = 8
 
 
-def _nms_kernel(iou_thresh: float, k: int, boxes_ref, valid_ref, keep_ref):
+def _nms_kernel(iou_thresh: float, k: int, boxes_ref, valid_ref, keep_ref,
+                overlap_ref):
     """One grid program: greedy sweep for a (CHUNK, K) slab of candidates.
 
-    boxes_ref: (C, 4, K) f32 corner boxes (ymin, xmin, ymax, xmax rows),
-               already class-offset and score-sorted (descending).
-    valid_ref: (C, K) f32 0/1 score-threshold mask.
-    keep_ref:  (C, K) f32 output keep mask.
+    boxes_ref:   (C, 4, K) f32 corner boxes (ymin, xmin, ymax, xmax rows),
+                 already class-offset and score-sorted (descending).
+    valid_ref:   (C, K) f32 0/1 score-threshold mask.
+    keep_ref:    (C, K) f32 output keep mask.
+    overlap_ref: (C, K, K) f32 VMEM scratch — the O(K^2) overlap matrix.
+                 Mosaic has no dynamic_slice on *values*, so the sweep
+                 indexes this ref (and valid/keep refs) with pl.ds instead.
     """
     c = boxes_ref.shape[0]
     y0 = boxes_ref[:, 0, :]  # (C, K)
@@ -63,19 +67,23 @@ def _nms_kernel(iou_thresh: float, k: int, boxes_ref, valid_ref, keep_ref):
     area = jnp.maximum(y1 - y0, 0.0) * jnp.maximum(x1 - x0, 0.0)  # (C, K)
     union = col(area) + row(area) - inter
     iou = inter / jnp.maximum(union, 1e-10)
-    overlap = (iou > iou_thresh).astype(jnp.float32)  # (C, K, K)
+    overlap_ref[:, :, :] = (iou > iou_thresh).astype(jnp.float32)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, k), 1)  # (1, K)
     valid = valid_ref[:, :]  # (C, K)
 
     def body(i, keep):
-        # row i of the overlap matrix for every image in the chunk
-        orow = lax.dynamic_slice(overlap, (0, i, 0), (c, 1, k)).reshape(c, k)
+        # Row i of the overlap matrix for every image in the chunk. The
+        # sublane dim (axis 1) supports dynamic pl.ds slicing; the lane dim
+        # does NOT support dynamic scalar loads/stores on TPU, so the
+        # column-i select/update below uses lane==i masks instead.
+        orow = overlap_ref[:, pl.ds(i, 1), :].reshape(c, k)
         earlier = (lane < i).astype(jnp.float32)  # (1, K)
         sup = jnp.sum(keep * orow * earlier, axis=1, keepdims=True)  # (C, 1)
-        valid_i = lax.dynamic_slice(valid, (0, i), (c, 1))  # (C, 1)
+        is_i = (lane == i).astype(jnp.float32)  # (1, K)
+        valid_i = jnp.sum(valid * is_i, axis=1, keepdims=True)  # (C, 1)
         keep_i = valid_i * (1.0 - jnp.minimum(sup, 1.0))
-        return jnp.where(lane == i, keep_i, keep)
+        return keep + is_i * keep_i  # column i was 0 until now
 
     keep = lax.fori_loop(0, k, body, jnp.zeros((c, k), jnp.float32))
     keep_ref[:, :] = keep
@@ -115,6 +123,7 @@ def nms_greedy_pallas(
             pl.BlockSpec((c, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((c, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((c, k, k), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=total * (7 * k * k + 6 * k * k),
             bytes_accessed=total * k * (4 * 4 + 4 + 4),

@@ -61,6 +61,15 @@ class Checkpointer:
         log.info("restored checkpoint step=%d from %s", step, self._dir)
         return step, state
 
+    def restore_latest_raw(self) -> Tuple[Optional[int], Any]:
+        """Template-free restore: returns (step, nested dict with the
+        TrainState fields as keys). Used by detect/eval, which need only
+        params + bn_state and must not depend on the optimizer config."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None, None
+        return step, self._mgr.restore(step)
+
     def wait(self):
         self._mgr.wait_until_finished()
 

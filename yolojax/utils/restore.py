@@ -1,0 +1,55 @@
+"""Unified weight loading for inference CLIs.
+
+Accepts, by extension/shape:
+  * ``*.npz``      — converted param store (yolojax/convert/store.py)
+  * ``*.weights``  — raw Darknet binary (converted on the fly)
+  * directory      — Orbax checkpoint dir (``<logdir>/ckpt``), restores the
+                     latest step's params + bn_state
+  * TF1 checkpoint prefix (``*.ckpt*`` / has a matching ``.index`` file)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Tuple
+
+from yolojax.models import Model
+
+log = logging.getLogger(__name__)
+
+
+def load_weights(
+    path: str, model: Model, input_dim: int
+) -> Tuple[Any, Any]:
+    """Return (params, bn_state) for ``model`` from any supported source."""
+    if path.endswith(".npz"):
+        from yolojax.convert.store import load_params_npz
+
+        log.info("loading npz params: %s", path)
+        return load_params_npz(path)
+    if path.endswith(".weights"):
+        from yolojax.convert.darknet import load_darknet_weights
+
+        log.info("loading darknet weights: %s", path)
+        return load_darknet_weights(model, path, input_dim=input_dim)
+    if os.path.isdir(path):
+        from yolojax.train.checkpoint import Checkpointer
+
+        # accept either the ckpt dir itself or a logdir containing ckpt/
+        ckpt_dir = path
+        if os.path.isdir(os.path.join(path, "ckpt")):
+            ckpt_dir = os.path.join(path, "ckpt")
+        ckpt = Checkpointer(ckpt_dir)
+        step, raw = ckpt.restore_latest_raw()
+        ckpt.close()
+        if raw is None:
+            raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
+        log.info("loading orbax checkpoint step %s from %s", step, ckpt_dir)
+        return raw["params"], raw["bn_state"]
+    if os.path.exists(path + ".index") or ".ckpt" in os.path.basename(path):
+        from yolojax.convert.tf1 import load_tf1_checkpoint
+
+        log.info("loading TF1 checkpoint: %s", path)
+        return load_tf1_checkpoint(model, path, input_dim=input_dim)
+    raise ValueError(f"unrecognized weights source: {path}")
