@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Benchmark harness: YOLOv2-416 batched inference throughput incl. on-device
+NMS (BASELINE.json metric). Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline: the driver target is >5000 img/s on a v5e-8 => 625 img/s/chip;
+vs_baseline = value / 625. Runs on whatever the default backend is (the
+real TPU chip under axon; CPU fallback works but is not the number that
+matters). Compile time is excluded (warmup step before timing).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dim", type=int, default=416)
+    p.add_argument("--model", default="darknet", choices=["darknet", "tiny"])
+    p.add_argument("--top-k", type=int, default=256)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from yolojax.models import get_model
+    from yolojax.postprocess.nms import postprocess_v2
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    compute = jnp.bfloat16 if on_tpu else jnp.float32
+
+    model = get_model("yolo2", args.model, num_classes=20)
+    params, state = model.init(jax.random.PRNGKey(0), args.dim)
+    params = jax.device_put(params)
+    state = jax.device_put(state)
+
+    @jax.jit
+    def infer(params, state, images):
+        head, _ = model.apply(params, state, images, compute_dtype=compute)
+        out = postprocess_v2(
+            head, model.anchors, score_thresh=0.3, iou_thresh=0.4,
+            top_k=args.top_k, use_pallas="auto",
+        )
+        return out["boxes"], out["scores"], out["classes"], out["keep"]
+
+    images = jax.device_put(
+        jax.random.uniform(jax.random.PRNGKey(1),
+                           (args.batch, args.dim, args.dim, 3), jnp.float32)
+    )
+
+    # warmup / compile
+    jax.block_until_ready(infer(params, state, images))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = infer(params, state, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = args.batch * args.iters / dt
+    baseline_per_chip = 5000.0 / 8.0  # driver target spread over a v5e-8
+    result = {
+        "metric": f"yolov2-{args.dim} {args.model} batched inference "
+                  f"(incl. on-device NMS) [{backend}]",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / baseline_per_chip, 4),
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -39,6 +39,7 @@ class LoaderConfig:
     seed: int = 0
     stretch: bool = False   # plain-resize instead of letterbox (see §3.3 [L])
     drop_remainder: bool = True
+    use_native: bool = True  # C++ decode pool when libyolodata.so is built
 
 
 class Loader:
@@ -48,6 +49,17 @@ class Loader:
         self.cache = cache
         self.cfg = cfg
         self._decoder = _default_decoder
+        self._native = None
+        if cfg.use_native:
+            try:
+                from yolojax.data.native import NativeDecodePool, available
+
+                if available():
+                    self._native = NativeDecodePool(cfg.num_threads)
+                    log.info("using native decode pool (%d threads)",
+                             cfg.num_threads)
+            except Exception as e:  # pragma: no cover
+                log.info("native decode pool unavailable: %s", e)
 
     def __len__(self) -> int:
         n = len(self.cache)
@@ -77,6 +89,52 @@ class Loader:
             valid[:k] = True
         return canvas, out_boxes, out_cls, valid
 
+    def _gt_arrays(self, i: int, sx, sy, px, py):
+        """Padded GT arrays for example i, transformed to canvas coords."""
+        _, boxes, classes = self.cache.example(i)
+        g = self.cfg.max_boxes
+        out_boxes = np.zeros((g, 4), np.float32)
+        out_cls = np.zeros((g,), np.int32)
+        valid = np.zeros((g,), bool)
+        k = min(len(boxes), g)
+        if k:
+            b = boxes[:k].copy()
+            b[:, 0] = b[:, 0] * sx + px
+            b[:, 1] = b[:, 1] * sy + py
+            b[:, 2] = b[:, 2] * sx
+            b[:, 3] = b[:, 3] * sy
+            out_boxes[:k] = b
+            out_cls[:k] = classes[:k]
+            valid[:k] = True
+        return out_boxes, out_cls, valid
+
+    def _load_batch(self, idxs):
+        """Build one batch; uses the C++ decode pool when available."""
+        if self._native is not None:
+            paths = [str(self.cache.paths[int(i)]) for i in idxs]
+            images, transforms, status = self._native.load_batch(
+                paths, self.cfg.canvas_dim, stretch=self.cfg.stretch
+            )
+            boxes, cls, valid = [], [], []
+            for j, i in enumerate(idxs):
+                if status[j] != 0:
+                    # non-JPEG or corrupt: python fallback for this image
+                    img, b, c, v = self._load_example(int(i))
+                    images[j] = img
+                    boxes.append(b)
+                    cls.append(c)
+                    valid.append(v)
+                    continue
+                sx, sy, px, py = transforms[j]
+                b, c, v = self._gt_arrays(int(i), sx, sy, px, py)
+                boxes.append(b)
+                cls.append(c)
+                valid.append(v)
+            return images, np.stack(boxes), np.stack(cls), np.stack(valid)
+        ex = [self._load_example(int(i)) for i in idxs]
+        imgs, boxes, cls, valid = map(np.stack, zip(*ex))
+        return imgs, boxes, cls, valid
+
     # -- epoch iteration ---------------------------------------------------
     def epoch(self, epoch_idx: int = 0, *, shuffle: bool = True) -> Iterator:
         """Yield batches for one epoch. Deterministic given (seed, epoch)."""
@@ -104,15 +162,16 @@ class Loader:
                 except queue.Empty:
                     return
                 try:
-                    ex = [self._load_example(int(i)) for i in idxs]
-                    imgs, boxes, cls, valid = map(np.stack, zip(*ex))
-                    out_q.put((bi, (imgs, boxes, cls, valid)))
+                    out_q.put((bi, self._load_batch(idxs)))
                 except Exception as e:  # surface decode errors, don't hang
                     out_q.put((bi, e))
 
+        # with the native pool, decode parallelism lives in C++; two python
+        # threads suffice to overlap batch assembly with consumption
+        n_py_threads = 2 if self._native is not None else self.cfg.num_threads
         threads = [
             threading.Thread(target=worker, daemon=True)
-            for _ in range(min(self.cfg.num_threads, max(len(batches), 1)))
+            for _ in range(min(n_py_threads, max(len(batches), 1)))
         ]
         for t in threads:
             t.start()
