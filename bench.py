@@ -39,8 +39,7 @@ def main():
     params = jax.device_put(params)
     state = jax.device_put(state)
 
-    @jax.jit
-    def infer(params, state, images):
+    def infer(images):
         head, _ = model.apply(params, state, images, compute_dtype=compute)
         out = postprocess_v2(
             head, model.anchors, score_thresh=0.3, iou_thresh=0.4,
@@ -48,19 +47,36 @@ def main():
         )
         return out["boxes"], out["scores"], out["classes"], out["keep"]
 
+    # Every iteration gets a DISTINCT input (device-side scalar add keyed on
+    # the iteration index). The axon remote executor dedupes repeated
+    # identical execute requests, which makes naive same-args dispatch loops
+    # report absurd throughput; distinct inputs defeat that while the
+    # dispatch loop still pipelines like a real serving loop. The perturb
+    # add costs one HBM read/write of the batch (~0.5 ms), subtracted via
+    # a control measurement of the perturb op alone.
+    infer_jit = jax.jit(infer)
+    perturb = jax.jit(lambda x, i: x + i * 1e-9)
+
     images = jax.device_put(
         jax.random.uniform(jax.random.PRNGKey(1),
                            (args.batch, args.dim, args.dim, 3), jnp.float32)
     )
 
-    # warmup / compile
-    jax.block_until_ready(infer(params, state, images))
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = infer(params, state, images)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    jax.block_until_ready(infer_jit(perturb(images, 0.0)))  # compile + warmup
 
+    def timed(n, with_infer):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            x = perturb(images, float(i + 1))
+            out = infer_jit(x) if with_infer else x
+        jax.block_until_ready(out)
+        return time.perf_counter() - t0
+
+    timed(3, True)
+    reps = [timed(args.iters, True) for _ in range(3)]
+    ctrl = [timed(args.iters, False) for _ in range(3)]
+    dt = max(min(reps) - min(ctrl), 1e-9)
     imgs_per_sec = args.batch * args.iters / dt
     baseline_per_chip = 5000.0 / 8.0  # driver target spread over a v5e-8
     result = {

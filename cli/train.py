@@ -166,7 +166,8 @@ def main():
                     step_i + 1, imgs[0], boxes[0], valid[0]
                 )
             ckpt.save(step_i + 1, jax.device_get(ts))
-    ckpt.save(tcfg.steps, jax.device_get(ts), force=True)
+    if ckpt.latest_step() != tcfg.steps:
+        ckpt.save(tcfg.steps, jax.device_get(ts), force=True)
     ckpt.wait()
     log.info("done: %d steps, mean %.3fs/step", tcfg.steps - step0, timer.mean)
 

@@ -160,3 +160,22 @@ def test_07_convert_roundtrip_cli(workspace, monkeypatch, capsys):
         "-c", str(workspace / "test.ini"), "--weights", wpath,
         "--image", img,
     ], monkeypatch)
+
+
+def test_08_train_multiscale(workspace, monkeypatch, tmp_path):
+    """Multi-scale schedule: bucketed jit variants compile and interleave."""
+    if not os.path.exists(workspace / "cache" / "train.npz"):
+        _run("cli.cache", ["-c", str(workspace / "test.ini")], monkeypatch)
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/mslog",
+        "train.steps=4",
+        "train.multi_scale=1",
+        "train.multi_scale_min=32",
+        "train.multi_scale_max=64",
+        "train.multi_scale_every=1",
+    ], monkeypatch)
+    metrics = [json.loads(l)
+               for l in open(tmp_path / "mslog" / "yolo2_tiny" / "metrics.jsonl")]
+    dims = {m["dim"] for m in metrics}
+    assert dims <= {32, 64} and len(dims) == 2, dims
