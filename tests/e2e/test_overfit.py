@@ -1,0 +1,98 @@
+"""SURVEY.md §4.5: few-step overfit on a synthetic set — loss must drop
+monotonically (smoothed) and detect must recover the training boxes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from yolojax.models import Model
+from yolojax.nn.layers import ConvSpec, MaxPoolSpec
+from yolojax.postprocess.nms import postprocess_v2
+from yolojax.train.losses import YoloV2LossConfig
+from yolojax.train.step import (
+    OptimizerConfig,
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+ANCHORS = ((2.0, 2.0), (4.0, 4.0))
+
+
+def overfit_model(num_classes=2):
+    a = len(ANCHORS)
+    specs = (
+        ConvSpec(16, 3),
+        MaxPoolSpec(),
+        ConvSpec(32, 3),
+        MaxPoolSpec(),
+        ConvSpec(32, 3),
+        ConvSpec(a * (5 + num_classes), 1, bn=False, act="linear"),
+    )
+    return Model("yolo2", "overfit", "v2", specs, num_classes, 4,
+                 anchors=ANCHORS)
+
+
+def _synthetic_set(n=8, dim=48, seed=0):
+    """Gray images with one colored rectangle each; class = color."""
+    rng = np.random.RandomState(seed)
+    images = np.full((n, dim, dim, 3), 0.5, np.float32)
+    boxes = np.zeros((n, 2, 4), np.float32)
+    classes = np.zeros((n, 2), np.int32)
+    valid = np.zeros((n, 2), bool)
+    for i in range(n):
+        w, h = rng.uniform(0.3, 0.5, 2)
+        cx = rng.uniform(w / 2 + 0.05, 1 - w / 2 - 0.05)
+        cy = rng.uniform(h / 2 + 0.05, 1 - h / 2 - 0.05)
+        x0, y0 = int((cx - w / 2) * dim), int((cy - h / 2) * dim)
+        x1, y1 = int((cx + w / 2) * dim), int((cy + h / 2) * dim)
+        cls = i % 2
+        color = [0.9, 0.1, 0.1] if cls == 0 else [0.1, 0.1, 0.9]
+        images[i, y0:y1, x0:x1] = color
+        boxes[i, 0] = [cx, cy, w, h]
+        classes[i, 0] = cls
+        valid[i, 0] = True
+    return (jnp.asarray(images), jnp.asarray(boxes), jnp.asarray(classes),
+            jnp.asarray(valid))
+
+
+def test_overfit_and_detect_recovers_boxes():
+    model = overfit_model()
+    tx = make_optimizer(OptimizerConfig(optimizer="adam", learning_rate=2e-3,
+                                        weight_decay=0.0))
+    ts = init_train_state(model, tx, jax.random.PRNGKey(0), 48)
+    step = make_train_step(
+        model, tx, augment=False, compute_dtype=jnp.float32,
+        loss_cfg=YoloV2LossConfig(),
+    )
+    batch = _synthetic_set()
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(500):
+        ts, m = step(ts, batch, rng, dim=48)
+        losses.append(float(m["total"]))
+    assert losses[-1] < 0.1 * losses[0], (losses[0], losses[-1])
+
+    # detect on the training images with eval-mode BN
+    images, boxes, classes, valid = batch
+    head, _ = model.apply(ts.params, ts.bn_state, images,
+                          compute_dtype=jnp.float32)
+    out = jax.device_get(postprocess_v2(
+        head, model.anchors, score_thresh=0.3, iou_thresh=0.45,
+        top_k=128, use_pallas="never"))
+
+    from yolojax.ops.boxes import iou_pairwise
+
+    recovered = 0
+    for i in range(images.shape[0]):
+        kept = np.where(out["keep"][i])[0]
+        if len(kept) == 0:
+            continue
+        best = kept[0]  # highest score
+        det_box = out["boxes"][i, best]  # (y0, x0, y1, x1)
+        cx, cy, w, h = np.asarray(boxes[i, 0])
+        gt = np.asarray([cy - h / 2, cx - w / 2, cy + h / 2, cx + w / 2])
+        iou = float(iou_pairwise(jnp.asarray(det_box), jnp.asarray(gt)))
+        if iou > 0.5 and int(out["classes"][i, best]) == int(classes[i, 0]):
+            recovered += 1
+    assert recovered >= 6, f"recovered {recovered}/8 boxes"
