@@ -34,8 +34,11 @@ def main():
     on_tpu = backend == "tpu"
     compute = jnp.bfloat16 if on_tpu else jnp.float32
 
+    from yolojax.convert.fold import fold_bn
+
     model = get_model("yolo2", args.model, num_classes=20)
     params, state = model.init(jax.random.PRNGKey(0), args.dim)
+    model, params, state = fold_bn(model, params, state)  # inference-time
     params = jax.device_put(params)
     state = jax.device_put(state)
 

@@ -34,6 +34,9 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     names = cfg.names()
     dim = cfg.model.dim
     params, bn_state = load_weights(weights_path, model, dim)
+    from yolojax.convert.fold import fold_bn
+
+    model, params, bn_state = fold_bn(model, params, bn_state)  # inference
     params = jax.tree_util.tree_map(jnp.asarray, params)
     bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
 

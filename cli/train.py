@@ -158,6 +158,10 @@ def main():
                     m_host["coord"], m_host["object"], m_host["noobject"],
                     m_host["class"], imgs_per_sec,
                 )
+            if tcfg.histogram_steps and (
+                (step_i + 1) % tcfg.histogram_steps == 0
+            ):
+                metrics_log.log_histograms(step_i + 1, ts.params)
             if tcfg.image_summary_steps and (
                 (step_i + 1) % tcfg.image_summary_steps == 0
             ):

@@ -170,3 +170,25 @@ def test_tf1_checkpoint_conversion(tmp_path):
                                   vals["net/Conv_1/BatchNorm/moving_variance"])
     np.testing.assert_array_equal(params["conv_3"]["b"],
                                   vals["net/Conv_2/biases"])
+
+
+def test_fold_bn_preserves_forward():
+    from yolojax.convert.fold import fold_bn
+
+    model = micro_v2()
+    params, state = model.init(jax.random.PRNGKey(5), 32)
+    # non-trivial running stats
+    state = jax.tree_util.tree_map(
+        lambda x: x + 0.3 * jax.random.uniform(jax.random.PRNGKey(6), x.shape),
+        state,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(1).uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    )
+    ref, _ = model.apply(params, state, x, compute_dtype=jnp.float32)
+
+    fmodel, fparams, fstate = fold_bn(model, params, state)
+    assert fstate == {}
+    got, _ = fmodel.apply(fparams, fstate, x, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)

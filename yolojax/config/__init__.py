@@ -68,6 +68,7 @@ class TrainConfig:
     save_steps: int = 1000
     summary_steps: int = 20
     image_summary_steps: int = 0   # 0 disables box-drawn image dumps
+    histogram_steps: int = 0       # 0 disables param histogram summaries
     seed: int = 0
     multi_scale: bool = False
     multi_scale_min: int = 320

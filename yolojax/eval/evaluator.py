@@ -64,8 +64,13 @@ def evaluate_model(
     compute_dtype=jnp.bfloat16,
     max_batches: Optional[int] = None,
     stretch: bool = False,
+    fold: bool = True,
 ) -> Dict[str, float]:
     """Run detection over a cached phase and return VOC AP metrics."""
+    if fold:
+        from yolojax.convert.fold import fold_bn
+
+        model, params, bn_state = fold_bn(model, params, bn_state)
     loader = Loader(
         cache,
         LoaderConfig(batch_size=batch_size, canvas_dim=input_dim,

@@ -46,6 +46,40 @@ class MetricsLogger:
                 for k, v in values.items():
                     tf.summary.scalar(prefix + k, float(v), step=int(step))
 
+    def log_histograms(self, step: int, tree, *, prefix: str = "hist/"):
+        """Histogram summaries for a pytree of arrays (vars or grads) —
+        the reference emitted tf.summary histograms (SURVEY.md §2). jsonl
+        gets compact percentiles; TB gets full histograms when enabled."""
+        import jax
+
+        flat = {}
+
+        def walk(prefix_key, node):
+            if isinstance(node, dict):
+                for k, v in node.items():
+                    walk(f"{prefix_key}/{k}" if prefix_key else k, v)
+            else:
+                flat[prefix_key] = np.asarray(node)
+
+        walk("", jax.device_get(tree))
+        rec = {"step": int(step), "time": time.time()}
+        for k, v in flat.items():
+            if v.size == 0:
+                continue
+            q = np.percentile(v, [0, 25, 50, 75, 100])
+            rec[prefix + k] = {
+                "min": float(q[0]), "p25": float(q[1]), "p50": float(q[2]),
+                "p75": float(q[3]), "max": float(q[4]),
+                "mean": float(v.mean()), "std": float(v.std()),
+            }
+        self._f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in flat.items():
+                    tf.summary.histogram(prefix + k, v, step=int(step))
+
     def log_image_with_boxes(
         self,
         step: int,
