@@ -17,7 +17,7 @@ import time
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--dim", type=int, default=416)
     p.add_argument("--model", default="darknet", choices=["darknet", "tiny"])

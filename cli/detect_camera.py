@@ -20,6 +20,11 @@ def main():
     parser.add_argument("--camera", type=int, default=0)
     parser.add_argument("--max-frames", type=int, default=0,
                         help="stop after N frames (0 = until q pressed)")
+    parser.add_argument("--video", default="",
+                        help="read from a video file instead of a camera")
+    parser.add_argument("--out-dir", default="",
+                        help="write annotated frames here instead of "
+                             "displaying (headless mode)")
     args = parser.parse_args()
     cfg = setup(args)
 
@@ -38,17 +43,25 @@ def main():
     names = cfg.names()
     dim = cfg.model.dim
     params, bn_state = load_weights(args.weights, model, dim)
+    from yolojax.convert.fold import fold_bn
+
+    model, params, bn_state = fold_bn(model, params, bn_state)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
     infer = make_infer_fn(
         model, score_thresh=cfg.detect.threshold,
         iou_thresh=cfg.detect.nms_iou, top_k=cfg.detect.top_k,
         use_pallas=cfg.detect.use_pallas,
+        compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
+        else jnp.bfloat16,
     )
 
-    cap = cv2.VideoCapture(args.camera)
+    src = args.video if args.video else args.camera
+    cap = cv2.VideoCapture(src)
     if not cap.isOpened():
-        raise SystemExit(f"cannot open camera {args.camera}")
+        raise SystemExit(f"cannot open capture source {src!r}")
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
     frames = 0
     t0 = time.perf_counter()
     try:
@@ -78,14 +91,19 @@ def main():
             fps = frames / (time.perf_counter() - t0)
             cv2.putText(frame, f"{fps:.1f} fps", (8, 20),
                         cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 255, 255), 2)
-            cv2.imshow("yolojax", frame)
-            if cv2.waitKey(1) & 0xFF == ord("q"):
-                break
+            if args.out_dir:
+                cv2.imwrite(os.path.join(args.out_dir,
+                                         f"frame_{frames:06d}.png"), frame)
+            else:  # pragma: no cover (needs a display)
+                cv2.imshow("yolojax", frame)
+                if cv2.waitKey(1) & 0xFF == ord("q"):
+                    break
             if args.max_frames and frames >= args.max_frames:
                 break
     finally:
         cap.release()
-        cv2.destroyAllWindows()
+        if not args.out_dir:  # pragma: no cover
+            cv2.destroyAllWindows()
 
 
 if __name__ == "__main__":

@@ -179,3 +179,67 @@ def test_08_train_multiscale(workspace, monkeypatch, tmp_path):
                for l in open(tmp_path / "mslog" / "yolo2_tiny" / "metrics.jsonl")]
     dims = {m["dim"] for m in metrics}
     assert dims <= {32, 64} and len(dims) == 2, dims
+
+
+def test_09_detect_camera_video_headless(workspace, monkeypatch, tmp_path):
+    """Camera CLI in headless mode over a synthetic video file."""
+    import cv2
+
+    video = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 5, (96, 64))
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        w.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    w.release()
+
+    out_dir = str(tmp_path / "frames")
+    _run("cli.detect_camera", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--video", video, "--out-dir", out_dir, "--max-frames", "3",
+    ], monkeypatch)
+    frames = sorted(os.listdir(out_dir))
+    assert len(frames) == 3 and frames[0] == "frame_000001.png"
+
+
+def test_10_transfer_learning_init(workspace, monkeypatch, tmp_path):
+    """--init-weights with --transfer re-inits the head for a new class count."""
+    import jax
+
+    from yolojax.config import load_config
+    from yolojax.convert.store import save_params_npz
+
+    cfg = load_config([str(workspace / "test.ini")])
+    model = cfg.build_model()
+    params, state = model.init(jax.random.PRNGKey(7), 64)
+    npz = str(tmp_path / "pre.npz")
+    save_params_npz(npz, params, state)
+
+    head = f"conv_{len(model.specs) - 1}"
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/tl",
+        "train.steps=2",
+        "--init-weights", npz,
+        "--transfer", head,
+    ], monkeypatch)
+    metrics = [json.loads(l)
+               for l in open(tmp_path / "tl" / "yolo2_tiny" / "metrics.jsonl")]
+    assert np.isfinite(metrics[-1]["total"])
+
+
+def test_11_profile_trace(workspace, monkeypatch, tmp_path):
+    """jax.profiler trace capture at a configured step."""
+    if not os.path.exists(workspace / "cache" / "train.npz"):
+        _run("cli.cache", ["-c", str(workspace / "test.ini")], monkeypatch)
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/prof",
+        "train.steps=3",
+        "train.profile_steps=1",
+        "train.image_summary_steps=2",
+    ], monkeypatch)
+    logdir = tmp_path / "prof" / "yolo2_tiny"
+    assert (logdir / "profile").is_dir()
+    # image summary written
+    assert any(f.startswith("sample_") for f in os.listdir(logdir))
