@@ -47,34 +47,52 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
         else jnp.bfloat16,
     )
 
+    import cv2
+
+    # Batched path: pad the image list up to a fixed batch so many-image
+    # detects compile once and ride the chip's batched throughput (the
+    # reference looped sess.run per image).
+    batch = 1 if len(image_paths) == 1 else min(
+        max(cfg.eval.batch_size, 1), 32
+    )
     results = []
-    for image_path in image_paths:
-        import cv2
-
-        raw = cv2.cvtColor(cv2.imread(image_path), cv2.COLOR_BGR2RGB)
-        canvas, (sx, sy, px, py) = letterbox_host(
-            raw, dim, stretch=cfg.detect.stretch
-        )
+    for start in range(0, len(image_paths), batch):
+        group = image_paths[start : start + batch]
+        raws, canvases, tfs = [], [], []
+        for image_path in group:
+            raw = cv2.cvtColor(cv2.imread(image_path), cv2.COLOR_BGR2RGB)
+            canvas, tf = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
+            raws.append(raw)
+            canvases.append(canvas)
+            tfs.append(tf)
+        while len(canvases) < batch:  # pad to the compiled batch size
+            canvases.append(np.full((dim, dim, 3), 0.5, np.float32))
         t0 = time.perf_counter()
-        out = jax.device_get(infer(params, bn_state, jnp.asarray(canvas[None])))
+        out = jax.device_get(
+            infer(params, bn_state, jnp.asarray(np.stack(canvases)))
+        )
         dt = time.perf_counter() - t0
-        dets = []
-        for d in np.where(out["keep"][0])[0]:
-            y0, x0, y1, x1 = out["boxes"][0, d]
-            # un-letterbox to original image coords
-            x0 = (x0 - px) / sx * raw.shape[1]
-            x1 = (x1 - px) / sx * raw.shape[1]
-            y0 = (y0 - py) / sy * raw.shape[0]
-            y1 = (y1 - py) / sy * raw.shape[0]
-            cls = int(out["classes"][0, d])
-            score = float(out["scores"][0, d])
-            dets.append((names[cls], score, (x0, y0, x1, y1)))
-            print(f"{os.path.basename(image_path)}: {names[cls]} "
-                  f"{score:.3f} [{x0:.0f}, {y0:.0f}, {x1:.0f}, {y1:.0f}]")
-        log.info("%s: %d detections in %.1f ms", image_path, len(dets),
-                 dt * 1e3)
-        results.append((image_path, raw, dets))
+        for k, image_path in enumerate(group):
+            raw = raws[k]
+            sx, sy, px, py = tfs[k]
+            dets = []
+            for d in np.where(out["keep"][k])[0]:
+                y0, x0, y1, x1 = out["boxes"][k, d]
+                # un-letterbox to original image coords
+                x0 = (x0 - px) / sx * raw.shape[1]
+                x1 = (x1 - px) / sx * raw.shape[1]
+                y0 = (y0 - py) / sy * raw.shape[0]
+                y1 = (y1 - py) / sy * raw.shape[0]
+                cls = int(out["classes"][k, d])
+                score = float(out["scores"][k, d])
+                dets.append((names[cls], score, (x0, y0, x1, y1)))
+                print(f"{os.path.basename(image_path)}: {names[cls]} "
+                      f"{score:.3f} [{x0:.0f}, {y0:.0f}, {x1:.0f}, {y1:.0f}]")
+            log.info("%s: %d detections (batch of %d in %.1f ms)",
+                     image_path, len(dets), len(group), dt * 1e3)
+            results.append((image_path, raw, dets))
 
+    for image_path, raw, dets in results:
         if out_path or show:
             img = cv2.cvtColor(raw.copy(), cv2.COLOR_RGB2BGR)
             for name, score, (x0, y0, x1, y1) in dets:

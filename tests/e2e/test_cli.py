@@ -243,3 +243,26 @@ def test_11_profile_trace(workspace, monkeypatch, tmp_path):
     assert (logdir / "profile").is_dir()
     # image summary written
     assert any(f.startswith("sample_") for f in os.listdir(logdir))
+
+
+def test_12_detect_batched_multi_image(workspace, monkeypatch, capsys):
+    imgs = []
+    for i in range(3):
+        imgs += ["--image",
+                 str(workspace / "voc" / "JPEGImages" / f"{i:06d}.jpg")]
+    out_dir = str(workspace / "multi_out")
+    os.makedirs(out_dir, exist_ok=True)
+    _run("cli.detect", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        *imgs, "--out", out_dir,
+        "detect.threshold=0.0001",
+    ], monkeypatch)
+    outs = os.listdir(out_dir)
+    assert len(outs) == 3, outs
+
+
+def test_13_malformed_override_rejected(workspace, monkeypatch):
+    with pytest.raises(ValueError, match="malformed override"):
+        _run("cli.cache", ["-c", str(workspace / "test.ini"), "justgarbage=1"],
+             monkeypatch)

@@ -224,8 +224,12 @@ def load_config(
         parser.read(p)
     # apply overrides
     for ov in overrides:
-        key, _, value = ov.partition("=")
-        section, _, name = key.strip().partition(".")
+        key, eq, value = ov.partition("=")
+        section, dot, name = key.strip().partition(".")
+        if not eq or not dot or not section or not name:
+            raise ValueError(
+                f"malformed override {ov!r}; expected section.key=value"
+            )
         if not parser.has_section(section):
             parser.add_section(section)
         parser.set(section, name, value.strip())
