@@ -107,7 +107,7 @@ def main():
     compute_dtype = jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
     step_fn = make_train_step(
         model, tx, loss_cfg=cfg.loss_config(), aug_cfg=cfg.augment,
-        augment=True, compute_dtype=compute_dtype,
+        augment=True, compute_dtype=compute_dtype, remat=tcfg.remat,
     )
     msched = (
         MultiScaleSchedule(
@@ -130,7 +130,9 @@ def main():
     batch_iter = batches()
     step0 = int(ts.step)
     log.info("training from step %d to %d", step0, tcfg.steps)
-    with mesh:
+    interrupted = False
+    try:
+      with mesh:
         for step_i in range(step0, tcfg.steps):
             batch = shard_batch(mesh, next(batch_iter))
             dim = msched.dim_at(step_i) if msched else cfg.model.dim
@@ -170,9 +172,15 @@ def main():
                     step_i + 1, imgs[0], boxes[0], valid[0]
                 )
             ckpt.save(step_i + 1, jax.device_get(ts))
-    if ckpt.latest_step() != tcfg.steps:
-        ckpt.save(tcfg.steps, jax.device_get(ts), force=True)
+    except KeyboardInterrupt:  # save before exiting (same restart contract)
+        interrupted = True
+        log.warning("interrupted at step %d; checkpointing", int(ts.step))
+    final = int(jax.device_get(ts.step))
+    if ckpt.latest_step() != final:
+        ckpt.save(final, jax.device_get(ts), force=True)
     ckpt.wait()
+    if interrupted:
+        raise SystemExit(130)
     log.info("done: %d steps, mean %.3fs/step", tcfg.steps - step0, timer.mean)
 
 

@@ -25,6 +25,7 @@
 
 #include <jpeglib.h>
 
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -97,30 +98,74 @@ void bilinear_into(const uint8_t* src, int sw, int sh, float* dst, int dim,
   // Half-pixel-center sampling (src = (dst+0.5)*scale - 0.5, clamped) to
   // match cv2.INTER_LINEAR / jax.image.resize("linear") — the Python
   // loader path must produce the same canvases as this pool.
+  //
+  // Separable two-pass with precomputed taps: a horizontal pass resamples
+  // each needed source row once into (sh x nw), the vertical pass blends
+  // row pairs. ~2x fewer multiplies than per-pixel 4-tap sampling and the
+  // inner loops vectorize — the naive version was 5x slower than cv2.
   const float x_ratio = static_cast<float>(sw) / nw;
   const float y_ratio = static_cast<float>(sh) / nh;
+
+  std::vector<int> xi0(nw), xi1(nw);
+  std::vector<float> xw(nw);
+  for (int x = 0; x < nw; ++x) {
+    float fx = (x + 0.5f) * x_ratio - 0.5f;
+    if (fx < 0) fx = 0;
+    if (fx > sw - 1) fx = static_cast<float>(sw - 1);
+    xi0[x] = static_cast<int>(fx);
+    xi1[x] = xi0[x] + 1 < sw ? xi0[x] + 1 : xi0[x];
+    xw[x] = fx - xi0[x];
+  }
+
+  // Horizontal pass, computed lazily per source row. Slot a always holds
+  // row y0, slot b always row y1; when upscaling, the previous y1 becomes
+  // the next y0 via a swap, so each source row is resampled exactly once.
+  std::vector<float> hrow_a(static_cast<size_t>(nw) * 3);
+  std::vector<float> hrow_b(static_cast<size_t>(nw) * 3);
+  int cached_a = -1, cached_b = -1;
+
+  auto hpass = [&](int sy, std::vector<float>& out) {
+    const uint8_t* r = src + static_cast<size_t>(sy) * sw * 3;
+    for (int x = 0; x < nw; ++x) {
+      const float w1 = xw[x];
+      const float w0 = 1.f - w1;
+      const uint8_t* p0 = r + xi0[x] * 3;
+      const uint8_t* p1 = r + xi1[x] * 3;
+      float* o = out.data() + static_cast<size_t>(x) * 3;
+      o[0] = p0[0] * w0 + p1[0] * w1;
+      o[1] = p0[1] * w0 + p1[1] * w1;
+      o[2] = p0[2] * w0 + p1[2] * w1;
+    }
+  };
+
+  constexpr float kInv255 = 1.f / 255.f;
   for (int y = 0; y < nh; ++y) {
     float fy = (y + 0.5f) * y_ratio - 0.5f;
     if (fy < 0) fy = 0;
     if (fy > sh - 1) fy = static_cast<float>(sh - 1);
     const int y0 = static_cast<int>(fy);
     const int y1 = y0 + 1 < sh ? y0 + 1 : y0;
-    const float wy = fy - y0;
-    float* out_row = dst + (static_cast<size_t>(py + y) * dim + px) * 3;
-    const uint8_t* r0 = src + static_cast<size_t>(y0) * sw * 3;
-    const uint8_t* r1 = src + static_cast<size_t>(y1) * sw * 3;
-    for (int x = 0; x < nw; ++x) {
-      float fx = (x + 0.5f) * x_ratio - 0.5f;
-      if (fx < 0) fx = 0;
-      if (fx > sw - 1) fx = static_cast<float>(sw - 1);
-      const int x0 = static_cast<int>(fx);
-      const int x1 = x0 + 1 < sw ? x0 + 1 : x0;
-      const float wx = fx - x0;
-      for (int c = 0; c < 3; ++c) {
-        const float top = r0[x0 * 3 + c] * (1 - wx) + r0[x1 * 3 + c] * wx;
-        const float bot = r1[x0 * 3 + c] * (1 - wx) + r1[x1 * 3 + c] * wx;
-        out_row[x * 3 + c] = (top * (1 - wy) + bot * wy) * (1.f / 255.f);
+    const float wy1 = fy - y0;
+    const float wy0 = 1.f - wy1;
+    if (cached_a != y0) {
+      if (cached_b == y0) {
+        std::swap(hrow_a, hrow_b);
+        std::swap(cached_a, cached_b);
+      } else {
+        hpass(y0, hrow_a);
+        cached_a = y0;
       }
+    }
+    if (y1 != y0 && cached_b != y1) {
+      hpass(y1, hrow_b);
+      cached_b = y1;
+    }
+    const float* r0 = hrow_a.data();
+    const float* r1 = (y1 == y0) ? r0 : hrow_b.data();
+    float* out_row = dst + (static_cast<size_t>(py + y) * dim + px) * 3;
+    const int n3 = nw * 3;
+    for (int i = 0; i < n3; ++i) {
+      out_row[i] = (r0[i] * wy0 + r1[i] * wy1) * kInv255;
     }
   }
 }
@@ -130,17 +175,38 @@ void gray_fill(float* dst, int dim) {
   for (size_t i = 0; i < total; ++i) dst[i] = 0.5f;
 }
 
+// Fill only the letterbox padding (the resize overwrites the interior) —
+// halves canvas memory traffic vs gray-filling everything first.
+void gray_fill_bars(float* dst, int dim, int nw, int nh, int px, int py) {
+  const int row3 = dim * 3;
+  auto fill = [&](size_t start, size_t count) {
+    for (size_t i = start; i < start + count; ++i) dst[i] = 0.5f;
+  };
+  fill(0, static_cast<size_t>(py) * row3);                      // top bar
+  const size_t bot = static_cast<size_t>(py + nh) * row3;
+  fill(bot, static_cast<size_t>(dim) * row3 - bot);             // bottom bar
+  for (int y = py; y < py + nh; ++y) {                          // side bars
+    float* row = dst + static_cast<size_t>(y) * row3;
+    fill(static_cast<size_t>(row - dst), static_cast<size_t>(px) * 3);
+    const int right = (px + nw) * 3;
+    fill(static_cast<size_t>(row - dst) + right,
+         static_cast<size_t>(row3 - right));
+  }
+}
+
 // Decode+letterbox one image into its canvas slot. Returns 0 on success.
 int load_one(const char* path, int dim, int stretch, float* canvas,
              float* transform) {
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  gray_fill(canvas, dim);
   transform[0] = 1.f;
   transform[1] = 1.f;
   transform[2] = 0.f;
   transform[3] = 0.f;
-  if (!decode_jpeg(path, &rgb, &w, &h) || w <= 0 || h <= 0) return 1;
+  if (!decode_jpeg(path, &rgb, &w, &h) || w <= 0 || h <= 0) {
+    gray_fill(canvas, dim);
+    return 1;
+  }
   if (stretch) {
     bilinear_into(rgb.data(), w, h, canvas, dim, dim, dim, 0, 0);
     return 0;
@@ -155,6 +221,7 @@ int load_one(const char* path, int dim, int stretch, float* canvas,
   if (nh > dim) nh = dim;
   const int px = (dim - nw) / 2;
   const int py = (dim - nh) / 2;
+  gray_fill_bars(canvas, dim, nw, nh, px, py);
   bilinear_into(rgb.data(), w, h, canvas, dim, nw, nh, px, py);
   transform[0] = static_cast<float>(nw) / dim;
   transform[1] = static_cast<float>(nh) / dim;

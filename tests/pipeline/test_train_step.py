@@ -185,3 +185,25 @@ def test_train_step_bf16_compute():
                            compute_dtype=jnp.bfloat16)
     ts, m = step(ts, _batch(), jax.random.PRNGKey(1), dim=32)
     assert np.isfinite(float(m["total"]))
+
+
+def test_train_step_remat_matches_no_remat():
+    """jax.checkpoint changes memory, not math."""
+    model = micro_model()
+    tx = make_optimizer(OptimizerConfig(optimizer="sgd", learning_rate=1e-2,
+                                        weight_decay=0.0))
+    batch = _batch()
+    rng = jax.random.PRNGKey(1)
+    outs = []
+    for remat in (False, True):
+        ts = init_train_state(model, tx, jax.random.PRNGKey(0), 32)
+        step = make_train_step(model, tx, augment=False,
+                               compute_dtype=jnp.float32, remat=remat)
+        ts, m = step(ts, batch, rng, dim=32)
+        outs.append((float(m["total"]), ts.params))
+    assert np.isclose(outs[0][0], outs[1][0], rtol=1e-6)
+    la = jax.tree_util.tree_leaves(outs[0][1])
+    lb = jax.tree_util.tree_leaves(outs[1][1])
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)

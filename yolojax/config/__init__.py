@@ -75,6 +75,7 @@ class TrainConfig:
     multi_scale_max: int = 608
     multi_scale_every: int = 10
     compute_dtype: str = "bfloat16"
+    remat: bool = False            # jax.checkpoint the forward (memory vs FLOPs)
     tensorboard: bool = False
     profile_steps: int = 0         # capture a jax.profiler trace at step N
     debug_nans: bool = False

@@ -122,11 +122,14 @@ def make_train_step(
     aug_cfg: AugmentConfig = AugmentConfig(),
     augment: bool = True,
     compute_dtype=jnp.bfloat16,
+    remat: bool = False,
 ):
     """Build the fused train step fn(state, batch, rng, dim) -> (state, metrics).
 
     ``batch`` = (canvas_images, gt_xywh, gt_class, gt_valid); ``dim`` is the
     static input dim for this compiled variant (multi-scale bucketing).
+    ``remat`` wraps the forward pass in ``jax.checkpoint`` — trades FLOPs
+    for activation memory (lets batch/dim grow past HBM on big configs).
     """
     if loss_cfg is None:
         loss_cfg = (
@@ -158,11 +161,16 @@ def make_train_step(
             )
         images = images.astype(compute_dtype)
 
-        def loss_fn(params):
-            head, new_bn = model.apply(
+        def forward(params, images):
+            return model.apply(
                 params, ts.bn_state, images, train=True, rng=rng_drop,
                 compute_dtype=compute_dtype,
             )
+
+        fwd = jax.checkpoint(forward) if remat else forward
+
+        def loss_fn(params):
+            head, new_bn = fwd(params, images)
             terms = loss_from_head(head, gt_xywh, gt_class, gt_valid)
             return terms["total"], (terms, new_bn)
 
