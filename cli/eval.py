@@ -48,6 +48,7 @@ def main():
         else jnp.bfloat16,
         max_batches=args.max_batches or None,
         stretch=cfg.detect.stretch,
+        max_detections=cfg.eval.max_detections,
     )
     names = cfg.names()
     for c, name in enumerate(names):

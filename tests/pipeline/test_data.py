@@ -2,7 +2,6 @@
 augmentation determinism + box/geometry consistency."""
 
 import os
-import xml.etree.ElementTree as ET
 
 import numpy as np
 import jax
@@ -25,39 +24,11 @@ from yolojax.data.loader import Loader, LoaderConfig
 # ---------------------------------------------------------------------------
 
 
-def _write_voc(root, n_images=6, size=(96, 64)):
-    import cv2
+from tests.util import write_synthetic_voc as _write_voc_impl
 
-    os.makedirs(os.path.join(root, "Annotations"), exist_ok=True)
-    os.makedirs(os.path.join(root, "JPEGImages"), exist_ok=True)
-    os.makedirs(os.path.join(root, "ImageSets", "Main"), exist_ok=True)
-    ids = []
-    rng = np.random.RandomState(0)
-    for i in range(n_images):
-        img_id = f"{i:06d}"
-        ids.append(img_id)
-        w, h = size
-        img = rng.randint(0, 255, (h, w, 3), np.uint8)
-        cv2.imwrite(os.path.join(root, "JPEGImages", img_id + ".jpg"), img)
-        ann = ET.Element("annotation")
-        sz = ET.SubElement(ann, "size")
-        ET.SubElement(sz, "width").text = str(w)
-        ET.SubElement(sz, "height").text = str(h)
-        for _ in range(rng.randint(1, 4)):
-            obj = ET.SubElement(ann, "object")
-            cls = VOC_NAMES[rng.randint(len(VOC_NAMES))]
-            ET.SubElement(obj, "name").text = cls
-            ET.SubElement(obj, "difficult").text = "0"
-            bb = ET.SubElement(obj, "bndbox")
-            x0, y0 = rng.randint(0, w - 20), rng.randint(0, h - 20)
-            ET.SubElement(bb, "xmin").text = str(x0)
-            ET.SubElement(bb, "ymin").text = str(y0)
-            ET.SubElement(bb, "xmax").text = str(x0 + rng.randint(10, 20))
-            ET.SubElement(bb, "ymax").text = str(y0 + rng.randint(10, 20))
-        ET.ElementTree(ann).write(os.path.join(root, "Annotations", img_id + ".xml"))
-    with open(os.path.join(root, "ImageSets", "Main", "trainval.txt"), "w") as f:
-        f.write("\n".join(ids) + "\n")
-    return ids
+
+def _write_voc(root, n_images=6, size=(96, 64)):
+    return _write_voc_impl(root, n_images=n_images, size=size)
 
 
 @pytest.fixture(scope="module")

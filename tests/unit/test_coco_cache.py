@@ -1,0 +1,58 @@
+"""COCO JSON parser unit test (synthetic instances file)."""
+
+import json
+import os
+
+import numpy as np
+
+from yolojax.data.cache import build_cache, load_cache, parse_coco
+
+
+def _write_coco(tmp_path):
+    ann = {
+        "images": [
+            {"id": 1, "file_name": "a.jpg", "width": 200, "height": 100},
+            {"id": 2, "file_name": "b.jpg", "width": 100, "height": 100},
+        ],
+        "categories": [
+            {"id": 7, "name": "car"},
+            {"id": 3, "name": "cat"},
+        ],
+        "annotations": [
+            {"image_id": 1, "category_id": 7, "bbox": [50, 25, 100, 50],
+             "iscrowd": 0},
+            {"image_id": 1, "category_id": 3, "bbox": [0, 0, 20, 20],
+             "iscrowd": 0},
+            {"image_id": 1, "category_id": 3, "bbox": [0, 0, 9, 9],
+             "iscrowd": 1},  # crowd: skipped
+            # image 2 has no annotations
+        ],
+    }
+    p = tmp_path / "instances.json"
+    p.write_text(json.dumps(ann))
+    return str(p)
+
+
+def test_parse_coco(tmp_path):
+    ann = _write_coco(tmp_path)
+    examples, names = parse_coco(ann, "/imgs")
+    assert names == ("cat", "car")  # sorted by category id (3, 7)
+    by_path = {os.path.basename(p): objs for p, _, objs in examples}
+    a = by_path["a.jpg"]
+    assert len(a) == 2  # crowd skipped
+    cls, cx, cy, w, h = a[0]
+    assert cls == 1  # car is index 1
+    np.testing.assert_allclose([cx, cy, w, h], [0.5, 0.5, 0.5, 0.5])
+    assert by_path["b.jpg"] == []
+
+
+def test_build_cache_coco(tmp_path):
+    ann = _write_coco(tmp_path)
+    out = str(tmp_path / "cache")
+    cache = build_cache(out, "train",
+                        [{"kind": "coco", "ann_json": ann,
+                          "image_dir": "/imgs"}], names=None)
+    assert len(cache) == 2
+    assert cache.names == ("cat", "car")
+    loaded = load_cache(out, "train")
+    assert len(loaded.classes) == 2

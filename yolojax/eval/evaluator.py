@@ -65,6 +65,7 @@ def evaluate_model(
     max_batches: Optional[int] = None,
     stretch: bool = False,
     fold: bool = True,
+    max_detections: int = 0,  # cap kept detections per image (0 = no cap)
 ) -> Dict[str, float]:
     """Run detection over a cached phase and return VOC AP metrics."""
     if fold:
@@ -97,7 +98,10 @@ def evaluate_model(
                          np.asarray([cy - h / 2, cx - w / 2,
                                      cy + h / 2, cx + w / 2])))
             keep = out["keep"][k]
-            for d in np.where(keep)[0]:
+            kept_idx = np.where(keep)[0]
+            if max_detections:
+                kept_idx = kept_idx[:max_detections]  # already score-sorted
+            for d in kept_idx:
                 detections.append(
                     (img_id, int(out["classes"][k, d]),
                      float(out["scores"][k, d]), out["boxes"][k, d]))
