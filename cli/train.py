@@ -29,12 +29,19 @@ def main():
     args = parser.parse_args()
     cfg = setup(args)
 
+    import dataclasses
     import itertools
     import logging
 
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    from yolojax.parallel.distributed import global_batch, maybe_initialize
+
+    multi_process = maybe_initialize(
+        cfg.train.coordinator, cfg.train.num_processes, cfg.train.process_id
+    )
 
     from yolojax.convert.store import load_params_npz
     from yolojax.data.cache import load_cache
@@ -64,7 +71,16 @@ def main():
 
     # ---- data --------------------------------------------------------------
     cache = load_cache(cfg.cache.basedir, "train")
-    loader = Loader(cache, cfg.queue)
+    queue_cfg = cfg.queue
+    if multi_process:
+        # disjoint per-process shards; per-process batch = global / processes
+        queue_cfg = dataclasses.replace(
+            queue_cfg,
+            batch_size=cfg.queue.batch_size // jax.process_count(),
+            shard_index=jax.process_index(),
+            shard_count=jax.process_count(),
+        )
+    loader = Loader(cache, queue_cfg)
     if len(loader) == 0:
         raise SystemExit(
             f"cache has {len(cache)} images < batch_size "
@@ -119,7 +135,11 @@ def main():
         else None
     )
 
-    metrics_log = MetricsLogger(logdir, tensorboard=tcfg.tensorboard)
+    is_primary = jax.process_index() == 0
+    metrics_log = (
+        MetricsLogger(logdir, tensorboard=tcfg.tensorboard)
+        if is_primary else None
+    )
     rng = jax.random.PRNGKey(tcfg.seed + 1)
     timer = StepTimer()
 
@@ -134,7 +154,10 @@ def main():
     try:
       with mesh:
         for step_i in range(step0, tcfg.steps):
-            batch = shard_batch(mesh, next(batch_iter))
+            if multi_process:
+                batch = global_batch(mesh, next(batch_iter))
+            else:
+                batch = shard_batch(mesh, next(batch_iter))
             dim = msched.dim_at(step_i) if msched else cfg.model.dim
             trace_ctx = (
                 profile_trace(os.path.join(logdir, "profile"))
@@ -148,7 +171,7 @@ def main():
                         jax.block_until_ready(m["total"])
                 else:
                     ts, m = step_fn(ts, batch, rng, dim=dim)
-            if (step_i + 1) % tcfg.summary_steps == 0:
+            if is_primary and (step_i + 1) % tcfg.summary_steps == 0:
                 m_host = {k: float(v) for k, v in jax.device_get(m).items()}
                 imgs_per_sec = cfg.queue.batch_size / timer.last
                 m_host["images_per_sec"] = imgs_per_sec
@@ -160,11 +183,12 @@ def main():
                     m_host["coord"], m_host["object"], m_host["noobject"],
                     m_host["class"], imgs_per_sec,
                 )
-            if tcfg.histogram_steps and (
+            if is_primary and tcfg.histogram_steps and (
                 (step_i + 1) % tcfg.histogram_steps == 0
             ):
                 metrics_log.log_histograms(step_i + 1, ts.params)
-            if tcfg.image_summary_steps and (
+            # (global arrays aren't host-addressable across processes)
+            if is_primary and not multi_process and tcfg.image_summary_steps and (
                 (step_i + 1) % tcfg.image_summary_steps == 0
             ):
                 imgs, boxes, _, valid = jax.device_get(batch)

@@ -1,0 +1,96 @@
+"""Multi-host (DCN) smoke test: 2 coordinated CPU processes, 4 virtual
+devices each -> one 8-device data-parallel mesh, 2 real train steps through
+cli/train.py with jax.distributed + make_array_from_process_local_data."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from tests.util import write_synthetic_voc
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_train(tmp_path):
+    voc = tmp_path / "voc"
+    write_synthetic_voc(str(voc), n_images=8, size=(96, 64))
+    ini = tmp_path / "mp.ini"
+    port = _free_port()
+    ini.write_text(f"""
+[model]
+model = yolo2
+inference = tiny
+dim = 64
+names_file = {REPO}/config/names/voc.txt
+anchors = 1.08,1.19 3.42,4.41
+[cache]
+basedir = {tmp_path}/cache
+train = voc:{voc}:trainval
+[queue]
+batch_size = 8
+canvas_dim = 64
+max_boxes = 8
+num_threads = 2
+[train]
+logdir = {tmp_path}/logdir
+steps = 2
+save_steps = 10
+summary_steps = 1
+compute_dtype = float32
+optimizer = sgd
+learning_rate = 1e-4
+weight_decay = 0
+coordinator = 127.0.0.1:{port}
+num_processes = 2
+""")
+    # build the cache once (single process)
+    driver = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys; sys.path.insert(0, {repo!r}); "
+        "sys.argv = ['x', '-c', {ini!r}{extra}]; "
+        "from cli.{mod} import main; main()"
+    )
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    subprocess.run(
+        [sys.executable, "-c",
+         driver.format(repo=REPO, ini=str(ini), extra="", mod="cache")],
+        check=True, env=env, cwd=REPO, timeout=120,
+    )
+
+    procs = []
+    for pid in range(2):
+        code = driver.format(
+            repo=REPO, ini=str(ini),
+            extra=f", 'train.process_id={pid}'", mod="train",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=360)
+        outs.append(out.decode())
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i} failed:\n{outs[i][-3000:]}"
+    # primary wrote metrics over the 8-device global mesh
+    metrics = [json.loads(l) for l in
+               open(tmp_path / "logdir" / "yolo2_tiny" / "metrics.jsonl")]
+    assert len(metrics) == 2
+    import numpy as np
+
+    assert np.isfinite(metrics[-1]["total"])
+    assert "mesh: {'data': 8" in outs[0] or "'data': 8" in outs[0]

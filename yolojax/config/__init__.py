@@ -82,6 +82,10 @@ class TrainConfig:
     # mesh
     mesh_data: int = 0             # 0 -> all devices
     mesh_model: int = 1
+    # multi-host (DCN): set all three (or JAX_COORDINATOR/... env vars)
+    coordinator: str = ""
+    num_processes: int = 0
+    process_id: int = -1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -40,6 +40,9 @@ class LoaderConfig:
     stretch: bool = False   # plain-resize instead of letterbox (see §3.3 [L])
     drop_remainder: bool = True
     use_native: bool = True  # C++ decode pool when libyolodata.so is built
+    # multi-host: each process loads a disjoint slice of every epoch
+    shard_index: int = 0
+    shard_count: int = 1
 
 
 class Loader:
@@ -62,7 +65,7 @@ class Loader:
                 log.info("native decode pool unavailable: %s", e)
 
     def __len__(self) -> int:
-        n = len(self.cache)
+        n = len(self.cache) // self.cfg.shard_count
         b = self.cfg.batch_size
         return n // b if self.cfg.drop_remainder else (n + b - 1) // b
 
@@ -141,8 +144,12 @@ class Loader:
         n = len(self.cache)
         order = np.arange(n)
         if shuffle:
+            # identical seed on every process -> consistent disjoint shards
             rng = np.random.RandomState((self.cfg.seed, epoch_idx))
             rng.shuffle(order)
+        if self.cfg.shard_count > 1:
+            order = order[self.cfg.shard_index :: self.cfg.shard_count]
+        n = len(order)
         b = self.cfg.batch_size
         limit = (n // b) * b if self.cfg.drop_remainder else n
 
