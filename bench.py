@@ -22,6 +22,8 @@ def main():
     p.add_argument("--dim", type=int, default=416)
     p.add_argument("--model", default="darknet", choices=["darknet", "tiny"])
     p.add_argument("--top-k", type=int, default=256)
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantized conv trunk")
     args = p.parse_args()
 
     import jax
@@ -42,8 +44,23 @@ def main():
     params = jax.device_put(params)
     state = jax.device_put(state)
 
+    if args.int8:
+        from yolojax.quantize.ptq import apply_int8, quantize_model
+
+        calib = jax.random.uniform(
+            jax.random.PRNGKey(9), (8, args.dim, args.dim, 3), jnp.float32)
+        qm = quantize_model(model, jax.device_get(params), calib)
+
+        def forward(images):
+            return apply_int8(qm, images)
+    else:
+        def forward(images):
+            head, _ = model.apply(params, state, images,
+                                  compute_dtype=compute)
+            return head
+
     def infer(images):
-        head, _ = model.apply(params, state, images, compute_dtype=compute)
+        head = forward(images)
         out = postprocess_v2(
             head, model.anchors, score_thresh=0.3, iou_thresh=0.4,
             top_k=args.top_k, use_pallas="auto",
@@ -83,8 +100,9 @@ def main():
     imgs_per_sec = args.batch * args.iters / dt
     baseline_per_chip = 5000.0 / 8.0  # driver target spread over a v5e-8
     result = {
-        "metric": f"yolov2-{args.dim} {args.model} batched inference "
-                  f"(incl. on-device NMS) [{backend}]",
+        "metric": f"yolov2-{args.dim} {args.model}"
+                  + ("-int8" if args.int8 else "")
+                  + f" batched inference (incl. on-device NMS) [{backend}]",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / baseline_per_chip, 4),

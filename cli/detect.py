@@ -40,11 +40,20 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
 
+    qm = None
+    if cfg.detect.use_int8:
+        from yolojax.quantize.ptq import quantize_model
+
+        calib = jax.random.uniform(jax.random.PRNGKey(0),
+                                   (4, dim, dim, 3), jnp.float32)
+        qm = quantize_model(model, jax.device_get(params), calib)
+        log.info("int8 conv trunk enabled (synthetic calibration; pass "
+                 "real images through eval for calibrated scales)")
     infer = make_infer_fn(
         model, score_thresh=cfg.detect.threshold, iou_thresh=cfg.detect.nms_iou,
         top_k=cfg.detect.top_k, use_pallas=cfg.detect.use_pallas,
         compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
-        else jnp.bfloat16,
+        else jnp.bfloat16, qm=qm,
     )
 
     import cv2

@@ -49,6 +49,7 @@ def main():
         max_batches=args.max_batches or None,
         stretch=cfg.detect.stretch,
         max_detections=cfg.eval.max_detections,
+        int8=cfg.detect.use_int8,
     )
     names = cfg.names()
     for c, name in enumerate(names):

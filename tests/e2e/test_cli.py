@@ -67,6 +67,15 @@ def _run(module, argv, monkeypatch):
     mod.main()
 
 
+
+def _ensure_prereqs(workspace, monkeypatch):
+    """Build cache + checkpoint when running a subset via -k."""
+    if not os.path.exists(workspace / "cache" / "train.npz"):
+        _run("cli.cache", ["-c", str(workspace / "test.ini")], monkeypatch)
+    if not (workspace / "logdir" / "yolo2_tiny" / "ckpt").is_dir():
+        _run("cli.train", ["-c", str(workspace / "test.ini")], monkeypatch)
+
+
 def test_01_cache(workspace, monkeypatch, capsys):
     _run("cli.cache", ["-c", str(workspace / "test.ini")], monkeypatch)
     out = capsys.readouterr().out
@@ -97,6 +106,7 @@ def test_03_train_resumes(workspace, monkeypatch):
 
 
 def test_04_detect(workspace, monkeypatch, capsys):
+    _ensure_prereqs(workspace, monkeypatch)
     img = str(workspace / "voc" / "JPEGImages" / "000000.jpg")
     out_img = str(workspace / "det.png")
     _run("cli.detect", [
@@ -109,6 +119,7 @@ def test_04_detect(workspace, monkeypatch, capsys):
 
 
 def test_05_eval(workspace, monkeypatch, capsys):
+    _ensure_prereqs(workspace, monkeypatch)
     _run("cli.eval", [
         "-c", str(workspace / "test.ini"),
         "--weights", str(workspace / "logdir" / "yolo2_tiny"),
@@ -164,8 +175,7 @@ def test_07_convert_roundtrip_cli(workspace, monkeypatch, capsys):
 
 def test_08_train_multiscale(workspace, monkeypatch, tmp_path):
     """Multi-scale schedule: bucketed jit variants compile and interleave."""
-    if not os.path.exists(workspace / "cache" / "train.npz"):
-        _run("cli.cache", ["-c", str(workspace / "test.ini")], monkeypatch)
+    _ensure_prereqs(workspace, monkeypatch)
     _run("cli.train", [
         "-c", str(workspace / "test.ini"),
         f"train.logdir={tmp_path}/mslog",
@@ -182,6 +192,7 @@ def test_08_train_multiscale(workspace, monkeypatch, tmp_path):
 
 
 def test_09_detect_camera_video_headless(workspace, monkeypatch, tmp_path):
+    _ensure_prereqs(workspace, monkeypatch)
     """Camera CLI in headless mode over a synthetic video file."""
     import cv2
 
@@ -230,8 +241,7 @@ def test_10_transfer_learning_init(workspace, monkeypatch, tmp_path):
 
 def test_11_profile_trace(workspace, monkeypatch, tmp_path):
     """jax.profiler trace capture at a configured step."""
-    if not os.path.exists(workspace / "cache" / "train.npz"):
-        _run("cli.cache", ["-c", str(workspace / "test.ini")], monkeypatch)
+    _ensure_prereqs(workspace, monkeypatch)
     _run("cli.train", [
         "-c", str(workspace / "test.ini"),
         f"train.logdir={tmp_path}/prof",
@@ -246,6 +256,7 @@ def test_11_profile_trace(workspace, monkeypatch, tmp_path):
 
 
 def test_12_detect_batched_multi_image(workspace, monkeypatch, capsys):
+    _ensure_prereqs(workspace, monkeypatch)
     imgs = []
     for i in range(3):
         imgs += ["--image",
@@ -266,3 +277,22 @@ def test_13_malformed_override_rejected(workspace, monkeypatch):
     with pytest.raises(ValueError, match="malformed override"):
         _run("cli.cache", ["-c", str(workspace / "test.ini"), "justgarbage=1"],
              monkeypatch)
+
+
+def test_14_detect_and_eval_int8(workspace, monkeypatch, capsys):
+    """int8 PTQ path through detect + eval CLIs."""
+    _ensure_prereqs(workspace, monkeypatch)
+    img = str(workspace / "voc" / "JPEGImages" / "000002.jpg")
+    _run("cli.detect", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--image", img,
+        "detect.use_int8=1", "detect.threshold=0.0001",
+    ], monkeypatch)
+    _run("cli.eval", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--phase", "test", "detect.use_int8=1",
+    ], monkeypatch)
+    out = capsys.readouterr().out
+    assert "mAP@0.5" in out

@@ -1,0 +1,59 @@
+"""int8 PTQ: quantized forward must track the f32 forward closely."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from yolojax.convert.fold import fold_bn
+from yolojax.models import get_model
+from yolojax.quantize.ptq import apply_int8, calibrate, quantize_model
+
+
+@pytest.fixture(scope="module")
+def folded_darknet():
+    # full darknet graph at tiny dim: exercises route + reorg paths
+    model = get_model("yolo2", "darknet", num_classes=4)
+    params, state = model.init(jax.random.PRNGKey(0), 64)
+    return fold_bn(model, params, state)
+
+
+def test_int8_forward_tracks_f32(folded_darknet):
+    model, params, _ = folded_darknet
+    rng = np.random.RandomState(0)
+    calib = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    qm = quantize_model(model, params, calib)
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    ref, _ = model.apply(params, {}, x, compute_dtype=jnp.float32)
+    got = apply_int8(qm, x)
+    assert got.shape == ref.shape
+
+    a = np.asarray(ref).ravel()
+    b = np.asarray(got).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.98, cos
+    # decoded objectness/probs stay close through the sigmoids
+    rel = np.abs(a - b).mean() / (np.abs(a).mean() + 1e-9)
+    assert rel < 0.2, rel
+
+
+def test_calibration_scales_positive(folded_darknet):
+    model, params, _ = folded_darknet
+    calib = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.5
+    in_scale, scales = calibrate(model, params, calib)
+    assert in_scale > 0
+    assert len(scales) == len(model.specs)
+    assert all(s > 0 for s in scales)
+
+
+def test_quantized_weights_are_int8(folded_darknet):
+    model, params, _ = folded_darknet
+    calib = jnp.ones((1, 64, 64, 3), jnp.float32) * 0.5
+    qm = quantize_model(model, params, calib)
+    n_int8 = sum(1 for v in qm.qparams.values() if "w_q" in v)
+    assert n_int8 == 22  # all convs but the head
+    for v in qm.qparams.values():
+        if "w_q" in v:
+            assert v["w_q"].dtype == np.int8
+            assert v["w_scale"].ndim == 1  # per-output-channel

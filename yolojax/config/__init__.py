@@ -95,6 +95,7 @@ class DetectConfig:
     top_k: int = 256
     use_pallas: str = "auto"
     stretch: bool = False          # plain resize instead of letterbox
+    use_int8: bool = False         # post-training int8 conv trunk (v2 only)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,13 +27,22 @@ log = logging.getLogger(__name__)
 
 def make_infer_fn(model: Model, *, score_thresh: float, iou_thresh: float,
                   top_k: int, use_pallas: str = "auto",
-                  compute_dtype=jnp.bfloat16):
-    """jitted images -> {boxes, scores, classes, keep} (all fixed shape)."""
+                  compute_dtype=jnp.bfloat16, qm=None):
+    """jitted images -> {boxes, scores, classes, keep} (all fixed shape).
+
+    ``qm``: optional QuantizedModel — runs the int8 conv trunk instead of
+    the bf16 forward (params/bn_state args are then ignored).
+    """
 
     @jax.jit
     def infer(params, bn_state, images):
-        head, _ = model.apply(params, bn_state, images,
-                              compute_dtype=compute_dtype)
+        if qm is not None:
+            from yolojax.quantize.ptq import apply_int8
+
+            head = apply_int8(qm, images)
+        else:
+            head, _ = model.apply(params, bn_state, images,
+                                  compute_dtype=compute_dtype)
         if model.kind == "v2":
             return postprocess_v2(
                 head, model.anchors, score_thresh=score_thresh,
@@ -65,10 +74,11 @@ def evaluate_model(
     max_batches: Optional[int] = None,
     stretch: bool = False,
     fold: bool = True,
+    int8: bool = False,  # post-training int8 conv trunk (implies fold)
     max_detections: int = 0,  # cap kept detections per image (0 = no cap)
 ) -> Dict[str, float]:
     """Run detection over a cached phase and return VOC AP metrics."""
-    if fold:
+    if fold or int8:
         from yolojax.convert.fold import fold_bn
 
         model, params, bn_state = fold_bn(model, params, bn_state)
@@ -78,9 +88,23 @@ def evaluate_model(
                      max_boxes=64, stretch=stretch, drop_remainder=False,
                      num_threads=8),
     )
-    infer = make_infer_fn(model, score_thresh=score_thresh,
-                          iou_thresh=nms_iou, top_k=top_k,
-                          use_pallas=use_pallas, compute_dtype=compute_dtype)
+    if int8:
+        import numpy as _np
+
+        from yolojax.quantize.ptq import quantize_model
+
+        calib_imgs, _, _, _ = next(loader.epoch(0, shuffle=False))
+        qm = quantize_model(model, jax.device_get(params),
+                            jnp.asarray(calib_imgs[:8]))
+        infer = make_infer_fn(model, score_thresh=score_thresh,
+                              iou_thresh=nms_iou, top_k=top_k,
+                              use_pallas=use_pallas,
+                              compute_dtype=compute_dtype, qm=qm)
+    else:
+        infer = make_infer_fn(model, score_thresh=score_thresh,
+                              iou_thresh=nms_iou, top_k=top_k,
+                              use_pallas=use_pallas,
+                              compute_dtype=compute_dtype)
     detections = []
     ground_truth = []
     img_id = 0

@@ -169,9 +169,16 @@ def max_pool(x: jax.Array, size: int, stride: int) -> jax.Array:
     pad_h = (total // 2, total - total // 2)
     total_w = max((math.ceil(x.shape[2] / stride) - 1) * stride + size - x.shape[2], 0)
     pad_w = (total_w // 2, total_w - total_w // 2)
+    # init must be a CONCRETE dtype-matched scalar: a traced array breaks
+    # the reduce_window VJP ("Linearization failed"), a bare python int
+    # defaults to int32 and trips the int8 dtype check.
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        init = jnp.dtype(x.dtype).type(-jnp.inf)
+    else:
+        init = jnp.dtype(x.dtype).type(jnp.iinfo(x.dtype).min)
     return lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        init,
         lax.max,
         window_dimensions=(1, size, size, 1),
         window_strides=(1, stride, stride, 1),

@@ -1,0 +1,191 @@
+"""Post-training int8 quantization for the conv trunk (inference only).
+
+Motivation (PERF.md device profile): the early YOLO layers are HBM-
+bandwidth-bound at bf16; int8 activations halve their traffic (~2x measured
+on the 208^2x32 layer) and the MXU runs int8 at 2x bf16 throughput, so the
+fat 13^2x1024 layers hold even. The reference had no quantization; this is
+a TPU-native extension, opt-in via ``bench.py --int8`` /
+``detect.use_int8`` config.
+
+Scheme: symmetric int8, per-output-channel weight scales, per-layer
+activation scales from a calibration pass (abs-max over a few batches).
+BN must be folded first (yolojax/convert/fold.py). The conv accumulates in
+int32 (``preferred_element_type``); dequant + bias + leaky run fused in
+f32; requant to int8 feeds the next layer. Max-pool and reorg operate on
+int8 directly (positive scales preserve order); route concat dequantizes
+to f32 and requantizes at a fresh scale; the final head conv runs in bf16
+from dequantized input (box decode is scale-sensitive).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from yolojax.models import Model
+from yolojax.nn.layers import (
+    ConvSpec,
+    MaxPoolSpec,
+    ReorgSpec,
+    RouteSpec,
+    _darknet_padding,
+    leaky_relu,
+    max_pool,
+    space_to_depth,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantizedModel:
+    model: Model  # folded (bn=False everywhere)
+    qparams: Dict[str, Any]  # conv_i -> {w_q, w_scale, b} (head: {w, b})
+    act_scales: Tuple[float, ...]  # per-spec output scale (f32/127 units)
+    input_scale: float
+    head_index: int  # spec index of the final conv kept in bf16
+
+
+def _conv_layers(model: Model) -> List[int]:
+    return [i for i, s in enumerate(model.specs) if isinstance(s, ConvSpec)]
+
+
+def calibrate(
+    model: Model,
+    params: Dict[str, Any],
+    images: jax.Array,
+    *,
+    compute_dtype=jnp.bfloat16,
+) -> Tuple[float, Tuple[float, ...]]:
+    """Run a bf16 forward over calibration images recording per-spec output
+    abs-max. ``model`` must already be BN-folded. Returns
+    (input_scale, per-spec activation scales) where scale = absmax / 127."""
+    scales: List[float] = []
+    x = images.astype(jnp.float32)
+    input_scale = float(jnp.max(jnp.abs(x))) / 127.0
+    outputs: List[jax.Array] = []
+    for i, spec in enumerate(model.specs):
+        if isinstance(spec, ConvSpec):
+            layer = params[f"conv_{i}"]
+            k = np.asarray(layer["w"]).shape[0]
+            pad_h = _darknet_padding(x.shape[1], k, spec.stride)
+            pad_w = _darknet_padding(x.shape[2], k, spec.stride)
+            y = lax.conv_general_dilated(
+                x.astype(compute_dtype),
+                jnp.asarray(layer["w"]).astype(compute_dtype),
+                (spec.stride, spec.stride), (pad_h, pad_w),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ).astype(jnp.float32) + jnp.asarray(layer["b"])
+            if spec.act == "leaky":
+                y = leaky_relu(y)
+            x = y
+        elif isinstance(spec, MaxPoolSpec):
+            x = max_pool(x, spec.size, spec.stride)
+        elif isinstance(spec, ReorgSpec):
+            x = space_to_depth(x, spec.stride)
+        elif isinstance(spec, RouteSpec):
+            x = jnp.concatenate(
+                [outputs[r if r >= 0 else i + r] for r in spec.layers], -1
+            )
+        else:
+            raise NotImplementedError(
+                f"int8 path supports conv trunks only, got {spec}"
+            )
+        outputs.append(x)
+        scales.append(float(jnp.max(jnp.abs(x))) / 127.0)
+    return input_scale, tuple(max(s, 1e-8) for s in scales)
+
+
+def quantize_model(
+    model: Model,
+    params: Dict[str, Any],
+    calib_images: jax.Array,
+) -> QuantizedModel:
+    """Quantize a BN-folded v2 conv trunk. The last ConvSpec (head) stays
+    in bf16."""
+    conv_idx = _conv_layers(model)
+    head_index = conv_idx[-1]
+    input_scale, act_scales = calibrate(model, params, calib_images)
+    qparams: Dict[str, Any] = {}
+    for i in conv_idx:
+        layer = params[f"conv_{i}"]
+        w = np.asarray(layer["w"], np.float32)
+        b = np.asarray(layer["b"], np.float32)
+        if i == head_index:
+            qparams[f"conv_{i}"] = {"w": w, "b": b}
+            continue
+        w_scale = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
+        w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+        qparams[f"conv_{i}"] = {
+            "w_q": w_q,
+            "w_scale": w_scale.astype(np.float32),
+            "b": b,
+        }
+    return QuantizedModel(model, qparams, act_scales, input_scale, head_index)
+
+
+def _requant(y: jax.Array, scale: float) -> jax.Array:
+    q = jnp.round(y / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
+    """int8 forward pass. images (N, H, W, 3) float in [0, 1]. Returns the
+    raw head (N, H, W, A, 5+C) like Model.apply."""
+    model = qm.model
+    x_q = _requant(images.astype(jnp.float32), qm.input_scale)
+    in_scale = qm.input_scale
+    outputs_q: List[Tuple[jax.Array, float]] = []  # (int8 tensor, scale)
+    head = None
+    for i, spec in enumerate(model.specs):
+        if isinstance(spec, ConvSpec):
+            lp = qm.qparams[f"conv_{i}"]
+            if i == qm.head_index:
+                y = lax.conv_general_dilated(
+                    (x_q.astype(jnp.float32) * in_scale).astype(jnp.bfloat16),
+                    jnp.asarray(lp["w"]).astype(jnp.bfloat16),
+                    (spec.stride, spec.stride), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                ).astype(jnp.float32) + jnp.asarray(lp["b"])
+                head = y
+                x_q = _requant(y, qm.act_scales[i])  # unused downstream
+            else:
+                k = lp["w_q"].shape[0]
+                pad_h = _darknet_padding(x_q.shape[1], k, spec.stride)
+                pad_w = _darknet_padding(x_q.shape[2], k, spec.stride)
+                acc = lax.conv_general_dilated(
+                    x_q,
+                    jnp.asarray(lp["w_q"]),
+                    (spec.stride, spec.stride), (pad_h, pad_w),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+                y = acc.astype(jnp.float32) * (
+                    in_scale * jnp.asarray(lp["w_scale"])
+                ) + jnp.asarray(lp["b"])
+                if spec.act == "leaky":
+                    y = leaky_relu(y)
+                x_q = _requant(y, qm.act_scales[i])
+            in_scale = qm.act_scales[i]
+        elif isinstance(spec, MaxPoolSpec):
+            x_q = max_pool(x_q, spec.size, spec.stride)
+        elif isinstance(spec, ReorgSpec):
+            x_q = space_to_depth(x_q, spec.stride)
+        elif isinstance(spec, RouteSpec):
+            parts = [outputs_q[r if r >= 0 else i + r] for r in spec.layers]
+            f32 = jnp.concatenate(
+                [p.astype(jnp.float32) * s for p, s in parts], -1
+            )
+            x_q = _requant(f32, qm.act_scales[i])
+            in_scale = qm.act_scales[i]
+        else:
+            raise NotImplementedError(spec)
+        outputs_q.append((x_q, in_scale))
+    n, h, w, _ = head.shape
+    if model.kind == "v2":
+        return head.reshape(n, h, w, model.num_anchors,
+                            5 + model.num_classes)
+    return head
