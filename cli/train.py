@@ -35,7 +35,6 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from yolojax.parallel.distributed import global_batch, maybe_initialize
 
@@ -50,7 +49,6 @@ def main():
     from yolojax.train.checkpoint import Checkpointer
     from yolojax.train.step import (
         MultiScaleSchedule,
-        TrainState,
         init_train_state,
         make_optimizer,
         make_train_step,

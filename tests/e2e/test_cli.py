@@ -296,3 +296,29 @@ def test_14_detect_and_eval_int8(workspace, monkeypatch, capsys):
     ], monkeypatch)
     out = capsys.readouterr().out
     assert "mAP@0.5" in out
+
+
+def test_15_yolov1_tiny_train_detect(workspace, monkeypatch, tmp_path):
+    """YOLOv1 family end-to-end: FC-head train step + v1 detect path."""
+    ini = tmp_path / "v1.ini"
+    base = (workspace / "test.ini").read_text()
+    base = base.replace("model = yolo2", "model = yolo")
+    base = base.replace("inference = tiny", "inference = tiny")
+    base = base.replace("dim = 64", "dim = 448")
+    base = base.replace("canvas_dim = 64", "canvas_dim = 448")
+    base = base.replace("batch_size = 8", "batch_size = 2")
+    base = base.replace("steps = 3", "steps = 2\nmesh_data = 1")
+    base = base.replace(f"logdir = {workspace}/logdir",
+                        f"logdir = {tmp_path}/v1log")
+    ini.write_text(base)
+    if not os.path.exists(workspace / "cache" / "train.npz"):
+        _run("cli.cache", ["-c", str(ini)], monkeypatch)
+    _run("cli.train", ["-c", str(ini)], monkeypatch)
+    logdir = tmp_path / "v1log" / "yolo_tiny"
+    metrics = [json.loads(l) for l in open(logdir / "metrics.jsonl")]
+    assert np.isfinite(metrics[-1]["total"])
+    img = str(workspace / "voc" / "JPEGImages" / "000003.jpg")
+    _run("cli.detect", [
+        "-c", str(ini), "--weights", str(logdir),
+        "--image", img, "detect.threshold=0.000001", "detect.top_k=128",
+    ], monkeypatch)

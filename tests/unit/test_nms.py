@@ -115,3 +115,29 @@ def test_class_offset_separates_classes():
     keep = np.asarray(batched_nms(jnp.asarray(boxes), jnp.asarray(valid), 0.5,
                                   use_pallas="never"))
     assert keep[0, 0] and keep[0, 1]
+
+
+def test_postprocess_v1_end_to_end():
+    """v1 flat head with one strong box -> postprocess recovers it."""
+    from yolojax.postprocess.nms import postprocess_v1
+
+    s, b, c = 7, 2, 20
+    probs = np.zeros((1, s, s, c), np.float32)
+    conf = np.zeros((1, s, s, b), np.float32)
+    raw = np.zeros((1, s, s, b, 4), np.float32)
+    # box at cell (3, 2), predictor 1: center offset (.5, .5), sqrt-wh .5
+    probs[0, 3, 2, 5] = 1.0
+    conf[0, 3, 2, 1] = 0.9
+    raw[0, 3, 2, 1] = [0.5, 0.5, 0.5, 0.5]
+    flat = np.concatenate(
+        [probs.reshape(1, -1), conf.reshape(1, -1), raw.reshape(1, -1)], -1)
+    out = postprocess_v1(jnp.asarray(flat), s, b, c, score_thresh=0.5,
+                         iou_thresh=0.4, top_k=128, use_pallas="never")
+    keep = np.asarray(out["keep"][0])
+    kept = np.where(keep)[0]
+    assert len(kept) == 1
+    assert int(out["classes"][0, kept[0]]) == 5
+    y0, x0, y1, x1 = np.asarray(out["boxes"][0, kept[0]])
+    np.testing.assert_allclose((x0 + x1) / 2, 2.5 / 7, atol=1e-5)
+    np.testing.assert_allclose((y0 + y1) / 2, 3.5 / 7, atol=1e-5)
+    np.testing.assert_allclose(x1 - x0, 0.25, atol=1e-5)  # (0.5)^2 sqrt-space

@@ -19,7 +19,7 @@ import configparser
 import dataclasses
 import logging
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 from yolojax.data.augment import AugmentConfig
 from yolojax.data.loader import LoaderConfig

@@ -19,7 +19,7 @@ import dataclasses
 import logging
 import queue
 import threading
-from typing import Iterator, Optional, Tuple
+from typing import Iterator
 
 import numpy as np
 
@@ -158,8 +158,6 @@ class Loader:
         batches = [order[s : s + b] for s in range(0, limit, b)]
         for bi, idxs in enumerate(batches):
             work_q.put((bi, idxs))
-        results = {}
-        results_lock = threading.Lock()
         stop = threading.Event()
 
         def worker():

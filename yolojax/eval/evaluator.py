@@ -9,7 +9,6 @@ original image coordinates and fed to compute_map.
 from __future__ import annotations
 
 import logging
-from functools import partial
 from typing import Dict, Optional
 
 import jax
@@ -89,8 +88,6 @@ def evaluate_model(
                      num_threads=8),
     )
     if int8:
-        import numpy as _np
-
         from yolojax.quantize.ptq import quantize_model
 
         calib_imgs, _, _, _ = next(loader.epoch(0, shuffle=False))

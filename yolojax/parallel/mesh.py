@@ -44,9 +44,10 @@ def make_mesh(
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+    # a smaller-than-world mesh uses the first data*model devices
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))
 
 

@@ -23,7 +23,7 @@ tie-breaking order; the numpy oracle in tests replicates it.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
