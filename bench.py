@@ -24,6 +24,8 @@ def main():
     p.add_argument("--top-k", type=int, default=256)
     p.add_argument("--int8", action="store_true",
                    help="post-training int8 quantized conv trunk")
+    p.add_argument("--train", action="store_true",
+                   help="benchmark the training step instead of inference")
     args = p.parse_args()
 
     import jax
@@ -35,6 +37,9 @@ def main():
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     compute = jnp.bfloat16 if on_tpu else jnp.float32
+
+    if args.train:
+        return bench_train(args, jax, jnp, compute, backend)
 
     from yolojax.convert.fold import fold_bn
 
@@ -108,6 +113,52 @@ def main():
         "vs_baseline": round(imgs_per_sec / baseline_per_chip, 4),
     }
     print(json.dumps(result))
+    return 0
+
+
+def bench_train(args, jax, jnp, compute, backend):
+    """Training-step throughput (aug+fwd+bwd+opt), one JSON line."""
+    import time as _time
+
+    from yolojax.models import get_model
+    from yolojax.train.step import (
+        OptimizerConfig, init_train_state, make_optimizer, make_train_step,
+    )
+
+    model = get_model("yolo2", args.model, num_classes=20)
+    tx = make_optimizer(OptimizerConfig(optimizer="momentum",
+                                        learning_rate=1e-3))
+    ts = jax.device_put(
+        init_train_state(model, tx, jax.random.PRNGKey(0), args.dim))
+    step = make_train_step(model, tx, augment=True, compute_dtype=compute)
+    b = args.batch
+    imgs = jax.device_put(jax.random.uniform(
+        jax.random.PRNGKey(2), (b, args.dim + 32, args.dim + 32, 3),
+        jnp.float32))
+    boxes = jax.device_put(jnp.tile(
+        jnp.asarray([[0.5, 0.5, 0.4, 0.4]], jnp.float32), (b, 8, 1)))
+    cls = jax.device_put(jnp.zeros((b, 8), jnp.int32))
+    valid = jax.device_put(jnp.zeros((b, 8), bool).at[:, 0].set(True))
+    rng = jax.random.PRNGKey(3)
+    batch = (imgs, boxes, cls, valid)
+    # the donated/advancing TrainState makes every call's args distinct,
+    # so the dedupe hazard of same-args loops does not apply here
+    ts, m = step(ts, batch, rng, dim=args.dim)
+    jax.block_until_ready(m["total"])
+    n = max(args.iters // 2, 5)
+    t0 = _time.perf_counter()
+    for _ in range(n):
+        ts, m = step(ts, batch, rng, dim=args.dim)
+    jax.block_until_ready(m["total"])
+    dt = (_time.perf_counter() - t0) / n
+    imgs_per_sec = b / dt
+    print(json.dumps({
+        "metric": f"yolov2-{args.dim} {args.model} train step "
+                  f"(aug+fwd+bwd+opt) [{backend}]",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / (5000.0 / 8.0), 4),
+    }))
     return 0
 
 

@@ -185,6 +185,35 @@ def main():
                 (step_i + 1) % tcfg.histogram_steps == 0
             ):
                 metrics_log.log_histograms(step_i + 1, ts.params)
+            if (
+                tcfg.eval_steps
+                and not multi_process
+                and (step_i + 1) % tcfg.eval_steps == 0
+            ):
+                try:
+                    val_cache = load_cache(cfg.cache.basedir, "val")
+                except FileNotFoundError:
+                    val_cache = None
+                if val_cache is not None:
+                    from yolojax.eval.evaluator import evaluate_model
+
+                    host_ts = jax.device_get(ts)
+                    em = evaluate_model(
+                        model, host_ts.params, host_ts.bn_state, val_cache,
+                        input_dim=cfg.model.dim,
+                        batch_size=cfg.eval.batch_size,
+                        nms_iou=cfg.detect.nms_iou,
+                        top_k=cfg.detect.top_k,
+                        map_iou=cfg.eval.map_iou,
+                        use_pallas=cfg.detect.use_pallas,
+                        compute_dtype=compute_dtype,
+                        max_detections=cfg.eval.max_detections,
+                    )
+                    if is_primary:
+                        metrics_log.log(step_i + 1,
+                                        {"map": em["map"]}, prefix="val_")
+                    log.info("step %d val mAP@%.2f: %.4f", step_i + 1,
+                             cfg.eval.map_iou, em["map"])
             # (global arrays aren't host-addressable across processes)
             if is_primary and not multi_process and tcfg.image_summary_steps and (
                 (step_i + 1) % tcfg.image_summary_steps == 0

@@ -322,3 +322,22 @@ def test_15_yolov1_tiny_train_detect(workspace, monkeypatch, tmp_path):
         "-c", str(ini), "--weights", str(logdir),
         "--image", img, "detect.threshold=0.000001", "detect.top_k=128",
     ], monkeypatch)
+
+
+def test_16_in_training_eval(workspace, monkeypatch, tmp_path):
+    """Periodic val-phase mAP during training (train.eval_steps)."""
+    _run("cli.cache", [
+        "-c", str(workspace / "test.ini"),
+        f"cache.val=voc:{workspace / 'voc'}:test",
+    ], monkeypatch)
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/evlog",
+        "train.steps=2",
+        "train.eval_steps=2",
+    ], monkeypatch)
+    metrics = [json.loads(l)
+               for l in open(tmp_path / "evlog" / "yolo2_tiny" / "metrics.jsonl")]
+    val_recs = [m for m in metrics if "val_map" in m]
+    assert len(val_recs) == 1
+    assert 0.0 <= val_recs[0]["val_map"] <= 1.0

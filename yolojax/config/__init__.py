@@ -69,6 +69,7 @@ class TrainConfig:
     summary_steps: int = 20
     image_summary_steps: int = 0   # 0 disables box-drawn image dumps
     histogram_steps: int = 0       # 0 disables param histogram summaries
+    eval_steps: int = 0            # run val-phase mAP every N steps (0 off)
     seed: int = 0
     multi_scale: bool = False
     multi_scale_min: int = 320
