@@ -140,17 +140,29 @@ def bench_train(args, jax, jnp, compute, backend):
     cls = jax.device_put(jnp.zeros((b, 8), jnp.int32))
     valid = jax.device_put(jnp.zeros((b, 8), bool).at[:, 0].set(True))
     rng = jax.random.PRNGKey(3)
-    batch = (imgs, boxes, cls, valid)
-    # the donated/advancing TrainState makes every call's args distinct,
-    # so the dedupe hazard of same-args loops does not apply here
-    ts, m = step(ts, batch, rng, dim=args.dim)
+    # Chain each step's input on the previous step's loss (an on-device
+    # elementwise op, no host round-trip): the remote executor cannot
+    # dedupe or reorder a true data dependency, so wall time / n is the
+    # real per-step latency. (Distinct-buffer perturbs alone were not
+    # enough here — donation-heavy trains still got deduped; see PERF.md.)
+    chain = jax.jit(lambda x, s: x + s * 1e-12)
+    ts, m = step(ts, (imgs, boxes, cls, valid), rng, dim=args.dim)
     jax.block_until_ready(m["total"])
     n = max(args.iters // 2, 5)
-    t0 = _time.perf_counter()
-    for _ in range(n):
-        ts, m = step(ts, batch, rng, dim=args.dim)
-    jax.block_until_ready(m["total"])
-    dt = (_time.perf_counter() - t0) / n
+
+    def timed():
+        nonlocal ts, m
+        t0 = _time.perf_counter()
+        for _ in range(n):
+            x = chain(imgs, m["total"])
+            ts, m = step(ts, (x, boxes, cls, valid), rng, dim=args.dim)
+        # block_until_ready is NOT a reliable completion barrier for
+        # donation-heavy graphs on the axon tunnel; fetch the value.
+        float(jax.device_get(m["total"]))
+        return _time.perf_counter() - t0
+
+    timed()
+    dt = min(timed() for _ in range(2)) / n
     imgs_per_sec = b / dt
     print(json.dumps({
         "metric": f"yolov2-{args.dim} {args.model} train step "

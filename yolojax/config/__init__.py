@@ -264,7 +264,6 @@ def load_config(
         else:
             kwargs[_SECTION_FIELD[section]] = cls(**sec_kwargs)
     if opt_kwargs:
-        base = kwargs.get("optimizer", OptimizerConfig())
         kwargs["optimizer"] = dataclasses.replace(
             OptimizerConfig(), **opt_kwargs
         )
