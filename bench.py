@@ -95,7 +95,12 @@ def main():
         for i in range(n):
             x = perturb(images, float(i + 1))
             out = infer_jit(x) if with_infer else x
-        jax.block_until_ready(out)
+        # fetch a value: a real completion barrier on the axon tunnel
+        # (block_until_ready alone can ack early for some graphs)
+        if with_infer:
+            jax.device_get(out[3][:1, :1])
+        else:
+            jax.device_get(x[:1, :1, :1, :1])
         return time.perf_counter() - t0
 
     timed(3, True)
