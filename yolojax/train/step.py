@@ -151,6 +151,10 @@ def make_train_step(
         images, gt_xywh, gt_class, gt_valid = batch
         rng = jax.random.fold_in(rng, ts.step)
         rng_aug, rng_drop = jax.random.split(rng)
+        # cast BEFORE augmentation: the resample/HSV ops at canvas
+        # resolution are bandwidth-bound and dtype-following — bf16 halves
+        # their traffic (box math stays f32 inside augment_batch)
+        images = images.astype(compute_dtype)
         if augment:
             images, gt_xywh, gt_valid = augment_batch(
                 rng_aug, images, gt_xywh, gt_valid, dim, aug_cfg
@@ -159,7 +163,6 @@ def make_train_step(
             images = jax.image.resize(
                 images, (images.shape[0], dim, dim, 3), "linear"
             )
-        images = images.astype(compute_dtype)
 
         def forward(params, images):
             return model.apply(
