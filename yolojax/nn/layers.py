@@ -120,11 +120,13 @@ def conv2d(
 ) -> jax.Array:
     """NHWC x HWIO conv with Darknet-compatible explicit padding.
 
-    Inputs are cast to ``compute_dtype`` (bf16 by default — MXU native);
-    the output is upcast to fp32 for the BN/bias epilogue. Accumulation
-    stays fp32 inside the MXU regardless of the bf16 output dtype; we do
-    NOT use ``preferred_element_type`` because a fp32-out/bf16-in conv
-    breaks JAX's conv transpose (VJP) with a dtype mismatch.
+    Inputs are cast to ``compute_dtype`` (bf16 by default — MXU native) and
+    the OUTPUT stays in ``compute_dtype``: the BN/bias epilogue upcasts to
+    fp32 per-element inside XLA fusions (register-resident), so no fp32
+    activation tensor ever materializes in HBM. Accumulation stays fp32
+    inside the MXU regardless of the bf16 output dtype; we do NOT use
+    ``preferred_element_type`` because a fp32-out/bf16-in conv breaks
+    JAX's conv transpose (VJP) with a dtype mismatch.
     """
     k = w.shape[0]
     pad_h = _darknet_padding(x.shape[1], k, stride)
@@ -135,7 +137,7 @@ def conv2d(
         window_strides=(stride, stride),
         padding=(pad_h, pad_w),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ).astype(jnp.float32)
+    )
 
 
 def batch_norm(
@@ -318,10 +320,13 @@ def apply_network(
         if isinstance(spec, ConvSpec):
             layer = params[_conv_name(i)]
             y = conv2d(x, layer["w"], spec.stride, compute_dtype=compute_dtype)
+            # upcast per-element for the epilogue math; XLA fuses the cast
+            # into its consumers, so only the compute_dtype tensor is stored
+            yf = y.astype(jnp.float32)
             if spec.bn:
                 if train:
-                    m = jnp.mean(y, axis=(0, 1, 2))
-                    v = jnp.var(y, axis=(0, 1, 2))
+                    m = jnp.mean(yf, axis=(0, 1, 2))
+                    v = jnp.var(yf, axis=(0, 1, 2))
                     run = state[_conv_name(i)]
                     new_state[_conv_name(i)] = {
                         "mean": run["mean"] * bn_momentum + m * (1 - bn_momentum),
@@ -330,9 +335,10 @@ def apply_network(
                 else:
                     run = state[_conv_name(i)]
                     m, v = run["mean"], run["var"]
-                y = batch_norm(y, layer["scale"], layer["bias"], m, v, eps=bn_eps)
+                y = batch_norm(yf, layer["scale"], layer["bias"], m, v,
+                               eps=bn_eps)
             else:
-                y = y.astype(jnp.float32) + layer["b"].astype(jnp.float32)
+                y = yf + layer["b"].astype(jnp.float32)
             if spec.act == "leaky":
                 y = leaky_relu(y, leaky_alpha)
             x = y.astype(compute_dtype)
