@@ -26,6 +26,9 @@ def main():
                    help="post-training int8 quantized conv trunk")
     p.add_argument("--train", action="store_true",
                    help="benchmark the training step instead of inference")
+    p.add_argument("--e2e", action="store_true",
+                   help="end-to-end serving: host JPEG decode -> device "
+                        "inference; reports the host-bound rate too")
     args = p.parse_args()
 
     import jax
@@ -40,6 +43,8 @@ def main():
 
     if args.train:
         return bench_train(args, jax, jnp, compute, backend)
+    if args.e2e:
+        return bench_e2e(args, jax, jnp, compute, backend)
 
     from yolojax.convert.fold import fold_bn
 
@@ -103,10 +108,15 @@ def main():
             jax.device_get(x[:1, :1, :1, :1])
         return time.perf_counter() - t0
 
+    if on_tpu:
+        _pallas_oracle_check(jax, jnp)
+
     timed(3, True)
-    reps = [timed(args.iters, True) for _ in range(3)]
-    ctrl = [timed(args.iters, False) for _ in range(3)]
-    dt = max(min(reps) - min(ctrl), 1e-9)
+    # median-of-N: the recorded metric must not be the run lottery
+    # (round-1 spread was 3965-4222 for the same config)
+    reps = sorted(timed(args.iters, True) for _ in range(5))
+    ctrl = sorted(timed(args.iters, False) for _ in range(5))
+    dt = max(reps[len(reps) // 2] - ctrl[len(ctrl) // 2], 1e-9)
     imgs_per_sec = args.batch * args.iters / dt
     baseline_per_chip = 5000.0 / 8.0  # driver target spread over a v5e-8
     result = {
@@ -119,6 +129,122 @@ def main():
     }
     print(json.dumps(result))
     return 0
+
+
+def bench_e2e(args, jax, jnp, compute, backend):
+    """End-to-end serving path: host JPEG decode+letterbox (native pool)
+    streaming into device inference. Reports the measured end-to-end rate
+    AND the host-only rate, so the host-vs-device bottleneck is a measured
+    fact, not an extrapolation (VERDICT r1 missing #4)."""
+    import os
+    import time as _time
+
+    # bench.py shadows the bench/ package name; load host_feed by path
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "host_feed",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench", "host_feed.py"))
+    _hf = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_hf)
+    _make_jpegs = _hf._make_jpegs
+
+    from yolojax.convert.fold import fold_bn
+    from yolojax.models import get_model
+    from yolojax.postprocess.nms import postprocess_v2
+
+    model = get_model("yolo2", args.model, num_classes=20)
+    params, state = model.init(jax.random.PRNGKey(0), args.dim)
+    model, params, state = fold_bn(model, params, state)
+    params = jax.device_put(params)
+    state = jax.device_put(state)
+
+    def infer(images):
+        head, _ = model.apply(params, state, images, compute_dtype=compute)
+        out = postprocess_v2(head, model.anchors, score_thresh=0.3,
+                             iou_thresh=0.4, top_k=args.top_k,
+                             use_pallas="auto")
+        return out["keep"]
+
+    infer_jit = jax.jit(infer)
+
+    n_imgs = max(args.batch * 4, 128)
+    paths = _make_jpegs("/tmp/yolojax_e2e_jpegs", n_imgs)
+    try:
+        from yolojax.data.native import NativeDecodePool
+
+        pool = NativeDecodePool(num_threads=max(os.cpu_count() or 1, 2))
+        decode = lambda group: pool.load_batch(group, args.dim)[0]
+    except Exception:
+        import cv2
+        import numpy as np
+
+        from yolojax.data.augment import letterbox_host
+
+        def decode(group):
+            import numpy as np
+            outs = [letterbox_host(
+                cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB), args.dim)[0]
+                for p in group]
+            return np.stack(outs)
+
+    groups = [paths[s : s + args.batch]
+              for s in range(0, n_imgs, args.batch)
+              if len(paths[s : s + args.batch]) == args.batch]
+
+    # warm both stages
+    jax.block_until_ready(infer_jit(jnp.asarray(decode(groups[0]))))
+
+    # host-only rate
+    t0 = _time.perf_counter()
+    for g in groups:
+        decode(g)
+    host_dt = _time.perf_counter() - t0
+    host_rate = args.batch * len(groups) / host_dt
+
+    # end-to-end: decode -> device_put -> infer, overlapped by async dispatch
+    t0 = _time.perf_counter()
+    out = None
+    for g in groups:
+        out = infer_jit(jnp.asarray(decode(g)))
+    jax.device_get(out[:1, :1])
+    e2e_dt = _time.perf_counter() - t0
+    e2e_rate = args.batch * len(groups) / e2e_dt
+
+    import json as _json
+    print(_json.dumps({
+        "metric": f"yolov2-{args.dim} e2e serving (jpeg decode -> device "
+                  f"infer+NMS) [{backend}, {os.cpu_count()} host cores]",
+        "value": round(e2e_rate, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(e2e_rate / (5000.0 / 8.0), 4),
+        "host_only_rate": round(host_rate, 2),
+    }))
+    return 0
+
+
+def _pallas_oracle_check(jax, jnp):
+    """Hardware-gated NMS kernel validation (VERDICT r1 weak #5): interpret
+    mode passing does not prove Mosaic lowering is correct, so every bench
+    run on a real TPU first asserts kernel == lax reference on random boxes."""
+    import numpy as np
+
+    from yolojax.postprocess.nms import batched_nms
+
+    rng = np.random.RandomState(0)
+    xy = rng.uniform(0, 1, (4, 256, 2))
+    wh = rng.uniform(0.02, 0.4, (4, 256, 2))
+    boxes = jnp.asarray(
+        np.concatenate([xy - wh / 2, xy + wh / 2], -1).astype(np.float32))
+    valid = jnp.asarray(rng.uniform(size=(4, 256)) > 0.2)
+    want = np.asarray(batched_nms(boxes, valid, 0.45, use_pallas="never"))
+    got = np.asarray(batched_nms(boxes, valid, 0.45, use_pallas="always"))
+    if not (got == want).all():
+        raise AssertionError(
+            f"Pallas NMS kernel disagrees with lax reference on TPU "
+            f"({int((got != want).sum())} mismatches)"
+        )
 
 
 def bench_train(args, jax, jnp, compute, backend):

@@ -40,15 +40,26 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
 
+    import cv2 as _cv2
+    import numpy as _np
+
+    from yolojax.data.augment import letterbox_host as _letterbox
+
     qm = None
     if cfg.detect.use_int8:
         from yolojax.quantize.ptq import quantize_model
 
-        calib = jax.random.uniform(jax.random.PRNGKey(0),
-                                   (4, dim, dim, 3), jnp.float32)
+        # Calibrate activation scales on the actual inputs (letterboxed the
+        # same way the forward pass will see them) — real data, not noise.
+        calib_imgs = []
+        for p in image_paths[:8]:
+            raw = _cv2.cvtColor(_cv2.imread(p), _cv2.COLOR_BGR2RGB)
+            canvas, _ = _letterbox(raw, dim, stretch=cfg.detect.stretch)
+            calib_imgs.append(canvas)
+        calib = jnp.asarray(_np.stack(calib_imgs))
         qm = quantize_model(model, jax.device_get(params), calib)
-        log.info("int8 conv trunk enabled (synthetic calibration; pass "
-                 "real images through eval for calibrated scales)")
+        log.info("int8 conv trunk enabled (calibrated on %d input images)",
+                 len(calib_imgs))
     infer = make_infer_fn(
         model, score_thresh=cfg.detect.threshold, iou_thresh=cfg.detect.nms_iou,
         top_k=cfg.detect.top_k, use_pallas=cfg.detect.use_pallas,

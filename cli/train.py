@@ -35,6 +35,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from yolojax.parallel.distributed import global_batch, maybe_initialize
 
@@ -152,10 +153,11 @@ def main():
     try:
       with mesh:
         for step_i in range(step0, tcfg.steps):
+            host_batch = next(batch_iter)  # process-local numpy
             if multi_process:
-                batch = global_batch(mesh, next(batch_iter))
+                batch = global_batch(mesh, host_batch)
             else:
-                batch = shard_batch(mesh, next(batch_iter))
+                batch = shard_batch(mesh, host_batch)
             dim = msched.dim_at(step_i) if msched else cfg.model.dim
             trace_ctx = (
                 profile_trace(os.path.join(logdir, "profile"))
@@ -185,9 +187,13 @@ def main():
                 (step_i + 1) % tcfg.histogram_steps == 0
             ):
                 metrics_log.log_histograms(step_i + 1, ts.params)
+            # In-training eval runs on the PRIMARY process only, through a
+            # process-local jit (no mesh/collectives inside, so the other
+            # processes are free to keep dispatching train steps). Params
+            # are replicated, hence host-addressable from any process.
             if (
-                tcfg.eval_steps
-                and not multi_process
+                is_primary
+                and tcfg.eval_steps
                 and (step_i + 1) % tcfg.eval_steps == 0
             ):
                 try:
@@ -209,20 +215,24 @@ def main():
                         compute_dtype=compute_dtype,
                         max_detections=cfg.eval.max_detections,
                     )
-                    if is_primary:
-                        metrics_log.log(step_i + 1,
-                                        {"map": em["map"]}, prefix="val_")
+                    metrics_log.log(step_i + 1,
+                                    {"map": em["map"]}, prefix="val_")
                     log.info("step %d val mAP@%.2f: %.4f", step_i + 1,
                              cfg.eval.map_iou, em["map"])
-            # (global arrays aren't host-addressable across processes)
-            if is_primary and not multi_process and tcfg.image_summary_steps and (
+            # Image summary from the process-local host copy of the batch
+            # (works under multi-process too: no device_get of global arrays).
+            if is_primary and tcfg.image_summary_steps and (
                 (step_i + 1) % tcfg.image_summary_steps == 0
             ):
-                imgs, boxes, _, valid = jax.device_get(batch)
+                imgs, boxes, _, valid = [np.asarray(t) for t in host_batch]
                 metrics_log.log_image_with_boxes(
                     step_i + 1, imgs[0], boxes[0], valid[0]
                 )
-            ckpt.save(step_i + 1, jax.device_get(ts))
+            # Only materialize the full state on host when the manager will
+            # actually write: a per-step device_get of params+opt state is a
+            # sync barrier and hundreds of MB of dead transfer otherwise.
+            if ckpt.should_save(step_i + 1):
+                ckpt.save(step_i + 1, jax.device_get(ts))
     except KeyboardInterrupt:  # save before exiting (same restart contract)
         interrupted = True
         log.warning("interrupted at step %d; checkpointing", int(ts.step))

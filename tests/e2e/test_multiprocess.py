@@ -38,16 +38,21 @@ anchors = 1.08,1.19 3.42,4.41
 [cache]
 basedir = {tmp_path}/cache
 train = voc:{voc}:trainval
+val = voc:{voc}:trainval
 [queue]
 batch_size = 8
 canvas_dim = 64
 max_boxes = 8
 num_threads = 2
+[eval]
+batch_size = 4
 [train]
 logdir = {tmp_path}/logdir
 steps = 2
 save_steps = 10
 summary_steps = 1
+eval_steps = 2
+image_summary_steps = 2
 compute_dtype = float32
 optimizer = sgd
 learning_rate = 1e-4
@@ -89,8 +94,16 @@ num_processes = 2
     # primary wrote metrics over the 8-device global mesh
     metrics = [json.loads(l) for l in
                open(tmp_path / "logdir" / "yolo2_tiny" / "metrics.jsonl")]
-    assert len(metrics) == 2
     import numpy as np
 
-    assert np.isfinite(metrics[-1]["total"])
+    train_lines = [m for m in metrics if "total" in m]
+    assert len(train_lines) == 2
+    assert np.isfinite(train_lines[-1]["total"])
     assert "mesh: {'data': 8" in outs[0] or "'data': 8" in outs[0]
+    # in-training eval must run under multi-process too (VERDICT r1 #7):
+    # a val_map metric line appears, computed primary-only on local devices
+    eval_lines = [m for m in metrics if "val_map" in m]
+    assert eval_lines and np.isfinite(eval_lines[-1]["val_map"]), metrics
+    # image summary no longer skips under multi-process
+    pngs = list((tmp_path / "logdir" / "yolo2_tiny").glob("sample_*.png"))
+    assert pngs, "no image summary PNG written"

@@ -56,7 +56,13 @@ def _synthetic_set(n=8, dim=48, seed=0):
             jnp.asarray(valid))
 
 
-def test_overfit_and_detect_recovers_boxes():
+_TRAINED = {}
+
+
+def _trained():
+    """Train the overfit model once per test session (cached)."""
+    if "ts" in _TRAINED:
+        return _TRAINED["model"], _TRAINED["ts"], _TRAINED["batch"], _TRAINED["losses"]
     model = overfit_model()
     tx = make_optimizer(OptimizerConfig(optimizer="adam", learning_rate=2e-3,
                                         weight_decay=0.0))
@@ -71,6 +77,12 @@ def test_overfit_and_detect_recovers_boxes():
     for _ in range(500):
         ts, m = step(ts, batch, rng, dim=48)
         losses.append(float(m["total"]))
+    _TRAINED.update(model=model, ts=ts, batch=batch, losses=losses)
+    return model, ts, batch, losses
+
+
+def test_overfit_and_detect_recovers_boxes():
+    model, ts, batch, losses = _trained()
     assert losses[-1] < 0.1 * losses[0], (losses[0], losses[-1])
 
     # detect on the training images with eval-mode BN
@@ -96,3 +108,43 @@ def test_overfit_and_detect_recovers_boxes():
         if iou > 0.5 and int(out["classes"][i, best]) == int(classes[i, 0]):
             recovered += 1
     assert recovered >= 6, f"recovered {recovered}/8 boxes"
+
+
+def test_int8_map_within_epsilon_of_f32():
+    """int8 PTQ serving-quality gate (VERDICT r1 #5): on a trained model
+    and real (synthetic-VOC-style) data, int8 detection quality must track
+    full precision — mAP delta <= 0.05, calibrated on real images."""
+    from yolojax.convert.fold import fold_bn
+    from yolojax.eval.voc_map import compute_map
+    from yolojax.quantize.ptq import apply_int8, quantize_model
+
+    model, ts, batch, _ = _trained()
+    images, boxes, classes, valid = batch
+    fmodel, fparams, fstate = fold_bn(model, ts.params, ts.bn_state)
+
+    qm = quantize_model(fmodel, jax.device_get(fparams), images)  # real calib
+
+    def run_map(head):
+        out = jax.device_get(postprocess_v2(
+            head, model.anchors, score_thresh=0.1, iou_thresh=0.45,
+            top_k=128, use_pallas="never"))
+        dets, gts = [], []
+        for i in range(images.shape[0]):
+            for d in np.where(out["keep"][i])[0]:
+                dets.append((i, int(out["classes"][i, d]),
+                             float(out["scores"][i, d]),
+                             np.asarray(out["boxes"][i, d])))
+            for g in np.where(np.asarray(valid[i]))[0]:
+                cx, cy, w, h = np.asarray(boxes[i, g])
+                gts.append((i, int(classes[i, g]),
+                            np.asarray([cy - h / 2, cx - w / 2,
+                                        cy + h / 2, cx + w / 2])))
+        return compute_map(dets, gts, model.num_classes, iou_thresh=0.5)["map"]
+
+    head_f32, _ = fmodel.apply(fparams, fstate, images,
+                               compute_dtype=jnp.float32)
+    head_int8 = apply_int8(qm, images)
+    map_f32 = run_map(head_f32)
+    map_int8 = run_map(head_int8)
+    assert map_f32 > 0.5, f"f32 mAP too low to gate against: {map_f32}"
+    assert abs(map_f32 - map_int8) <= 0.05, (map_f32, map_int8)

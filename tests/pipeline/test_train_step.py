@@ -207,3 +207,31 @@ def test_train_step_remat_matches_no_remat():
     for a, b in zip(la, lb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_weight_decay_masks_bn_and_biases():
+    """L2 decay applies to conv/dense kernels only; BN scale/bias and conv
+    biases must see a zero decay contribution (Darknet convention)."""
+    from yolojax.train.step import decay_mask
+
+    wd = 0.1
+    tx = make_optimizer(OptimizerConfig(optimizer="sgd", learning_rate=1.0,
+                                        weight_decay=wd))
+    params = {
+        "conv": {"w": jnp.ones((3, 3, 4, 8)), "b": jnp.ones((8,))},
+        "bn": {"scale": jnp.ones((8,)), "bias": jnp.ones((8,))},
+        "dense": {"w": jnp.ones((16, 4))},
+    }
+    mask = decay_mask(params)
+    assert mask["conv"]["w"] and mask["dense"]["w"]
+    assert not (mask["conv"]["b"] or mask["bn"]["scale"] or mask["bn"]["bias"])
+
+    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+    st = tx.init(params)
+    up, _ = tx.update(zeros, st, params)  # zero grads isolate the decay term
+    # sgd(lr=1.0): update = -(grad + wd*mask*param) = -wd on kernels, 0 else
+    np.testing.assert_allclose(np.asarray(up["conv"]["w"]), -wd, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(up["dense"]["w"]), -wd, rtol=1e-6)
+    assert not np.asarray(up["conv"]["b"]).any()
+    assert not np.asarray(up["bn"]["scale"]).any()
+    assert not np.asarray(up["bn"]["bias"]).any()

@@ -56,3 +56,20 @@ def test_build_cache_coco(tmp_path):
     assert cache.names == ("cat", "car")
     loaded = load_cache(out, "train")
     assert len(loaded.classes) == 2
+
+
+def test_parse_coco_honors_provided_names(tmp_path):
+    """Caller-provided names ordering wins (regression: indices used to map
+    by sorted category id, disagreeing with the names.txt written)."""
+    import pytest
+
+    ann = _write_coco(tmp_path)
+    examples, names = parse_coco(ann, "/imgs", names=("car", "dog", "cat"))
+    assert names == ("car", "dog", "cat")
+    by_path = {os.path.basename(p): objs for p, _, objs in examples}
+    a = by_path["a.jpg"]
+    assert a[0][0] == 0  # car -> index 0 in the provided list
+    assert a[1][0] == 2  # cat -> index 2
+
+    with pytest.raises(ValueError, match="car"):
+        parse_coco(ann, "/imgs", names=("cat", "bus"))

@@ -69,6 +69,21 @@ def test_pallas_nms_matches_lax_interpret():
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_nms_pads_non_multiple_of_128_k():
+    # K=100 (postprocess default-ish values must not crash on TPU); the
+    # kernel pads K up to 128 internally with invalid candidates.
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.RandomState(7)
+    boxes, valid = _random_case(rng, 3, 100)
+    jb, jv = jnp.asarray(boxes), jnp.asarray(valid)
+    want = np.asarray(batched_nms(jb, jv, 0.45, use_pallas="never"))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(batched_nms(jb, jv, 0.45, use_pallas="always"))
+    assert got.shape == (3, 100)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_all_identical_boxes_keeps_first():
     boxes = jnp.tile(jnp.asarray([[0.1, 0.1, 0.5, 0.5]], jnp.float32), (128, 1))
     valid = jnp.ones((128,), bool)

@@ -106,7 +106,19 @@ def parse_coco(
     cats = sorted(coco["categories"], key=lambda c: c["id"])
     if names is None:
         names = tuple(c["name"] for c in cats)
-    cat_to_idx = {c["id"]: i for i, c in enumerate(cats)}
+        cat_to_idx = {c["id"]: i for i, c in enumerate(cats)}
+    else:
+        # Honor the caller's class ordering (names.txt is written from it;
+        # mapping by sorted category id instead would silently mislabel
+        # custom names files and VOC+COCO mixes). Match by name, like
+        # parse_voc does.
+        name_to_idx = {n: i for i, n in enumerate(names)}
+        unknown = [c["name"] for c in cats if c["name"] not in name_to_idx]
+        if unknown:
+            raise ValueError(
+                f"COCO categories not in the provided names list: {unknown}"
+            )
+        cat_to_idx = {c["id"]: name_to_idx[c["name"]] for c in cats}
     imgs = {im["id"]: im for im in coco["images"]}
     anns_by_img: Dict[int, list] = {}
     for a in coco.get("annotations", []):

@@ -160,6 +160,17 @@ class Loader:
             work_q.put((bi, idxs))
         stop = threading.Event()
 
+        def put_or_stop(item):
+            # out_q is bounded; if the consumer abandons the generator
+            # mid-epoch a plain put() would block forever and leak the
+            # thread + prefetched batch. Re-check stop while waiting.
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
         def worker():
             while not stop.is_set():
                 try:
@@ -167,9 +178,9 @@ class Loader:
                 except queue.Empty:
                     return
                 try:
-                    out_q.put((bi, self._load_batch(idxs)))
+                    put_or_stop((bi, self._load_batch(idxs)))
                 except Exception as e:  # surface decode errors, don't hang
-                    out_q.put((bi, e))
+                    put_or_stop((bi, e))
 
         # with the native pool, decode parallelism lives in C++; two python
         # threads suffice to overlap batch assembly with consumption

@@ -45,7 +45,10 @@ def make_mesh(
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
     if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs more than {n} devices")
+        raise ValueError(
+            f"mesh {data}x{model} needs data*model = {data * model} "
+            f"devices, have {n}"
+        )
     # a smaller-than-world mesh uses the first data*model devices
     arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))

@@ -86,6 +86,9 @@ def _select_candidates(
     """Top-K (box, class) candidates per image, sorted by descending score."""
     n, m, c = scores.shape
     flat = scores.reshape(n, m * c)
+    # small grids (low input dim) can have fewer candidates than top_k;
+    # clamp — downstream handles any K (the Pallas kernel pads to 128)
+    top_k = min(top_k, m * c)
     top_scores, top_idx = jax.lax.top_k(flat, top_k)  # (N, K)
     box_idx = top_idx // c
     cls_idx = top_idx % c
@@ -147,7 +150,9 @@ def postprocess_v1(
     num_classes: int,
     score_thresh: float = 0.2,
     iou_thresh: float = 0.4,
-    top_k: int = 64,
+    # 128, not 64: the Pallas kernel requires K % 128 == 0, and on TPU
+    # use_pallas="auto" resolves to the kernel — a 64 default would raise.
+    top_k: int = 128,
     use_pallas: str = "auto",
     sqrt: bool = True,
 ) -> Dict[str, jax.Array]:

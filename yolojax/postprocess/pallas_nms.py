@@ -99,12 +99,16 @@ def nms_greedy_pallas(
 ) -> jax.Array:
     """Batched greedy NMS. boxes (N, K, 4) score-sorted, valid (N, K) bool.
 
-    Returns keep mask (N, K) bool. K must be a multiple of 128; N is padded
-    up to a multiple of ``chunk`` internally.
+    Returns keep mask (N, K) bool. K is padded up to a multiple of 128
+    internally (appended candidates are invalid and score-last, so they
+    cannot suppress real ones); N is padded up to a multiple of ``chunk``.
     """
-    n, k, _ = boxes.shape
-    if k % 128 != 0:
-        raise ValueError(f"top-K must be a multiple of 128, got {k}")
+    n, k_in, _ = boxes.shape
+    k_pad = (-k_in) % 128
+    if k_pad:
+        boxes = jnp.pad(boxes, ((0, 0), (0, k_pad), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, k_pad)))
+    k = k_in + k_pad
     c = min(chunk, n) if n > 0 else 1
     n_pad = (-n) % c
     boxes_t = jnp.transpose(boxes, (0, 2, 1)).astype(jnp.float32)  # (N, 4, K)
@@ -130,4 +134,4 @@ def nms_greedy_pallas(
             transcendentals=0,
         ),
     )(boxes_t, valid_f)
-    return keep[:n] > 0.5
+    return keep[:n, :k_in] > 0.5

@@ -43,6 +43,13 @@ class Checkpointer:
             log.info("saved checkpoint step=%d -> %s", int(step), self._dir)
         return saved
 
+    def should_save(self, step: int) -> bool:
+        """True iff ``save(step)`` would actually write. Callers use this
+        to skip the device->host transfer of the full train state on
+        non-save steps (the manager's interval gating happens after the
+        caller has already materialized the state otherwise)."""
+        return bool(self._mgr.should_save(int(step)))
+
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 

@@ -71,13 +71,21 @@ def make_schedule(cfg: OptimizerConfig) -> optax.Schedule:
     return sched
 
 
+def decay_mask(params: Any) -> Any:
+    """L2/weight decay applies to conv/dense kernels only (ndim >= 2),
+    never to BN scale/bias or conv biases — the Darknet convention the
+    reference's TF1 slim regularizers followed."""
+    return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
+
+
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     sched = make_schedule(cfg)
     name = cfg.optimizer.lower()
     if name == "adam":
         tx = optax.adam(sched)
     elif name == "adamw":
-        tx = optax.adamw(sched, weight_decay=cfg.weight_decay)
+        tx = optax.adamw(sched, weight_decay=cfg.weight_decay,
+                         mask=decay_mask)
     elif name == "momentum":
         tx = optax.sgd(sched, momentum=cfg.momentum)
     elif name == "sgd":
@@ -90,7 +98,9 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     if cfg.grad_clip_norm > 0:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
     if cfg.weight_decay > 0 and name in ("momentum", "sgd", "rmsprop"):
-        chain.append(optax.add_decayed_weights(cfg.weight_decay))
+        chain.append(
+            optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask)
+        )
     chain.append(tx)
     return optax.chain(*chain)
 
