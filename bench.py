@@ -24,6 +24,10 @@ def main():
     p.add_argument("--top-k", type=int, default=256)
     p.add_argument("--int8", action="store_true",
                    help="post-training int8 quantized conv trunk")
+    p.add_argument("--fuse-stem", default="off",
+                   choices=["off", "auto", "pallas", "xla"],
+                   help="fused conv0+pool stem (measured: parity with "
+                        "unfused on v5e — see PERF.md)")
     p.add_argument("--train", action="store_true",
                    help="benchmark the training step instead of inference")
     p.add_argument("--e2e", action="store_true",
@@ -48,9 +52,14 @@ def main():
 
     from yolojax.convert.fold import fold_bn
 
+    from yolojax.nn.stem import fuse_stem
+
     model = get_model("yolo2", args.model, num_classes=20)
     params, state = model.init(jax.random.PRNGKey(0), args.dim)
     model, params, state = fold_bn(model, params, state)  # inference-time
+    if not args.int8:
+        model, params, state = fuse_stem(model, params, state,
+                                         impl=args.fuse_stem)
     params = jax.device_put(params)
     state = jax.device_put(state)
 
@@ -85,11 +94,16 @@ def main():
     # add costs one HBM read/write of the batch (~0.5 ms), subtracted via
     # a control measurement of the perturb op alone.
     infer_jit = jax.jit(infer)
-    perturb = jax.jit(lambda x, i: x + i * 1e-9)
+    # 0.01*i: must exceed the bf16 ulp near 0.5 (~2e-3) or the perturbed
+    # values round back to identical and the remote executor can dedupe
+    perturb = jax.jit(lambda x, i: x + i * 0.01)
 
+    # serve in the compute dtype: the first conv casts to bf16 anyway, and
+    # a separate f32->bf16 pass over the batch costs ~0.6 ms at b128
     images = jax.device_put(
         jax.random.uniform(jax.random.PRNGKey(1),
                            (args.batch, args.dim, args.dim, 3), jnp.float32)
+        .astype(compute)
     )
 
     jax.block_until_ready(infer_jit(perturb(images, 0.0)))  # compile + warmup

@@ -37,6 +37,11 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     from yolojax.convert.fold import fold_bn
 
     model, params, bn_state = fold_bn(model, params, bn_state)  # inference
+    if not cfg.detect.use_int8:
+        from yolojax.nn.stem import fuse_stem
+
+        model, params, bn_state = fuse_stem(model, params, bn_state,
+                                            impl=cfg.detect.fuse_stem)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
 

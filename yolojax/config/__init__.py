@@ -97,6 +97,7 @@ class DetectConfig:
     use_pallas: str = "auto"
     stretch: bool = False          # plain resize instead of letterbox
     use_int8: bool = False         # post-training int8 conv trunk (v2 only)
+    fuse_stem: str = "off"         # fused conv0+pool: off|auto|pallas|xla
 
 
 @dataclasses.dataclass(frozen=True)

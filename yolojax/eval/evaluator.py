@@ -73,6 +73,7 @@ def evaluate_model(
     max_batches: Optional[int] = None,
     stretch: bool = False,
     fold: bool = True,
+    fuse_stem_impl: str = "off",
     int8: bool = False,  # post-training int8 conv trunk (implies fold)
     max_detections: int = 0,  # cap kept detections per image (0 = no cap)
 ) -> Dict[str, float]:
@@ -81,6 +82,11 @@ def evaluate_model(
         from yolojax.convert.fold import fold_bn
 
         model, params, bn_state = fold_bn(model, params, bn_state)
+        if not int8:  # int8 quantizes the trunk itself
+            from yolojax.nn.stem import fuse_stem
+
+            model, params, bn_state = fuse_stem(model, params, bn_state,
+                                                impl=fuse_stem_impl)
     loader = Loader(
         cache,
         LoaderConfig(batch_size=batch_size, canvas_dim=input_dim,

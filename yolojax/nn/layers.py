@@ -117,6 +117,7 @@ def conv2d(
     stride: int = 1,
     *,
     compute_dtype: jnp.dtype = jnp.bfloat16,
+    in_layout: str = "NHWC",
 ) -> jax.Array:
     """NHWC x HWIO conv with Darknet-compatible explicit padding.
 
@@ -129,14 +130,17 @@ def conv2d(
     JAX's conv transpose (VJP) with a dtype mismatch.
     """
     k = w.shape[0]
-    pad_h = _darknet_padding(x.shape[1], k, stride)
-    pad_w = _darknet_padding(x.shape[2], w.shape[1], stride)
+    # in_layout "NHCW" consumes the fused Pallas stem's channels-on-sublanes
+    # output without a relayout pass; output is always NHWC
+    h_axis, w_axis = (1, 2) if in_layout == "NHWC" else (1, 3)
+    pad_h = _darknet_padding(x.shape[h_axis], k, stride)
+    pad_w = _darknet_padding(x.shape[w_axis], w.shape[1], stride)
     return lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(stride, stride),
         padding=(pad_h, pad_w),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=(in_layout, "HWIO", "NHWC"),
     )
 
 
@@ -316,10 +320,36 @@ def apply_network(
     """
     new_state = dict(state)
     outputs = []  # per-spec outputs for RouteSpec
+    layout = "NHWC"  # the Pallas stem emits "NHCW"; the next conv restores
     for i, spec in enumerate(specs):
+        tname = type(spec).__name__
+        if tname == "StemSpec":  # fused conv0+pool (yolojax/nn/stem.py)
+            layer = params[_conv_name(i)]
+            p = x.shape[1] // 2
+            if (
+                spec.impl == "pallas"
+                or (spec.impl == "auto" and jax.default_backend() == "tpu"
+                    and p % 8 == 0 and p <= 256)
+            ):
+                from yolojax.nn.pallas_stem import stem_forward_pallas
+
+                x = stem_forward_pallas(x, layer["wp"], layer["b"])
+                layout = "NHCW"
+            else:
+                from yolojax.nn.stem import stem_forward
+
+                x = stem_forward(x, layer["wp"], layer["b"],
+                                 compute_dtype=compute_dtype)
+            outputs.append(x)
+            continue
+        if tname == "NoOpSpec":
+            outputs.append(x)
+            continue
         if isinstance(spec, ConvSpec):
             layer = params[_conv_name(i)]
-            y = conv2d(x, layer["w"], spec.stride, compute_dtype=compute_dtype)
+            y = conv2d(x, layer["w"], spec.stride, compute_dtype=compute_dtype,
+                       in_layout=layout)
+            layout = "NHWC"
             # upcast per-element for the epilogue math; XLA fuses the cast
             # into its consumers, so only the compute_dtype tensor is stored
             yf = y.astype(jnp.float32)
