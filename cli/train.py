@@ -45,7 +45,7 @@ def main():
 
     from yolojax.convert.store import load_params_npz
     from yolojax.data.cache import load_cache
-    from yolojax.data.loader import Loader
+    from yolojax.data.grain_loader import make_loader
     from yolojax.parallel.mesh import make_mesh, replicated, shard_batch
     from yolojax.train.checkpoint import Checkpointer
     from yolojax.train.step import (
@@ -79,7 +79,7 @@ def main():
             shard_index=jax.process_index(),
             shard_count=jax.process_count(),
         )
-    loader = Loader(cache, queue_cfg)
+    loader = make_loader(cache, queue_cfg, queue_cfg.loader)
     if len(loader) == 0:
         raise SystemExit(
             f"cache has {len(cache)} images < batch_size "

@@ -155,3 +155,46 @@ def test_flip_mirrors_boxes():
         elif abs(x - 0.25) < 1e-5:
             seen_noflip = True
     assert seen_flip and seen_noflip
+
+
+def test_grain_loader_matches_contract(tmp_path):
+    """GrainLoader (SURVEY §2's named input-pipeline alternative) yields the
+    same fixed-shape batch contract as the default loader, deterministically
+    per (seed, epoch), and covers each example exactly once per epoch."""
+    import numpy as np
+
+    from tests.util import VOC_NAMES, write_synthetic_voc
+    from yolojax.data.cache import build_cache
+    from yolojax.data.grain_loader import GrainLoader, make_loader
+    from yolojax.data.loader import LoaderConfig
+
+    voc = tmp_path / "voc"
+    write_synthetic_voc(str(voc), n_images=10, size=(96, 64))
+    cache = build_cache(str(tmp_path / "cache"), "train",
+                        [{"kind": "voc", "root": str(voc),
+                          "image_set": "trainval"}], names=VOC_NAMES)
+    cfg = LoaderConfig(batch_size=4, canvas_dim=64, max_boxes=8,
+                       num_threads=2, seed=3)
+    gl = GrainLoader(cache, cfg)
+    epoch_a = list(gl.epoch(0))
+    assert len(epoch_a) == 2  # 10 // 4 with drop_remainder
+    imgs, boxes, cls, valid = epoch_a[0]
+    assert imgs.shape == (4, 64, 64, 3) and imgs.dtype == np.float32
+    assert boxes.shape == (4, 8, 4) and valid.dtype == bool
+
+    # deterministic per (seed, epoch); different shuffle across epochs
+    epoch_a2 = list(gl.epoch(0))
+    np.testing.assert_array_equal(epoch_a[0][0], epoch_a2[0][0])
+    epoch_b = list(gl.epoch(1))
+    assert not np.array_equal(epoch_a[0][0], epoch_b[0][0])
+
+    # per-example decode identical to the default loader
+    nl = make_loader(cache, cfg, "native")
+    a = nl._load_example(0)
+    b = gl._base._load_example(0)
+    np.testing.assert_array_equal(a[0], b[0])
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        make_loader(cache, cfg, "bogus")

@@ -40,6 +40,7 @@ class LoaderConfig:
     stretch: bool = False   # plain-resize instead of letterbox (see §3.3 [L])
     drop_remainder: bool = True
     use_native: bool = True  # C++ decode pool when libyolodata.so is built
+    loader: str = "native"   # native (threads + C++ pool) | grain
     # multi-host: each process loads a disjoint slice of every epoch
     shard_index: int = 0
     shard_count: int = 1

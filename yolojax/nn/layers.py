@@ -170,6 +170,11 @@ def leaky_relu(x: jax.Array, alpha: float = 0.1) -> jax.Array:
 
 def max_pool(x: jax.Array, size: int, stride: int) -> jax.Array:
     """Max pool with Darknet-compatible padding (SAME-style, -inf pads)."""
+    # NOTE (round-2 measured): a reshape+max fast path for the 2x2/2 case
+    # LOSES to reduce_window on v5e — the max VJP lowers to two full
+    # (N,H/2,2,W/2,2,C) broadcasts with hostile layouts (+5.7 ms/step at
+    # b64/416) while select-and-scatter is already well-tuned. Keep
+    # reduce_window for all cases.
     total = max((math.ceil(x.shape[1] / stride) - 1) * stride + size - x.shape[1], 0)
     pad_h = (total // 2, total - total // 2)
     total_w = max((math.ceil(x.shape[2] / stride) - 1) * stride + size - x.shape[2], 0)
@@ -355,6 +360,10 @@ def apply_network(
             yf = y.astype(jnp.float32)
             if spec.bn:
                 if train:
+                    # two-pass mean/var: measured FASTER than the one-pass
+                    # sum/sumsq form on v5e (XLA fuses the second pass into
+                    # neighbours; the fused sumsq fusion doubled in cost)
+                    # and more stable under DP reduction reordering
                     m = jnp.mean(yf, axis=(0, 1, 2))
                     v = jnp.var(yf, axis=(0, 1, 2))
                     run = state[_conv_name(i)]
