@@ -68,6 +68,7 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     infer = make_infer_fn(
         model, score_thresh=cfg.detect.threshold, iou_thresh=cfg.detect.nms_iou,
         top_k=cfg.detect.top_k, use_pallas=cfg.detect.use_pallas,
+        candidates=cfg.detect.candidates,
         compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
         else jnp.bfloat16, qm=qm,
     )

@@ -44,6 +44,8 @@ def main():
         top_k=cfg.detect.top_k,
         map_iou=cfg.eval.map_iou,
         use_pallas=cfg.detect.use_pallas,
+        candidates=cfg.detect.candidates,
+        fuse_stem_impl=cfg.detect.fuse_stem,
         compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
         else jnp.bfloat16,
         max_batches=args.max_batches or None,

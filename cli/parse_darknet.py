@@ -23,6 +23,11 @@ def main():
                         help="path to Darknet .weights (or pass positionally)")
     parser.add_argument("--tf1", default="",
                         help="TF1 checkpoint prefix instead of .weights")
+    parser.add_argument("--cfg", default="",
+                        help="build the model from a Darknet .cfg file "
+                             "instead of the [model] config section — "
+                             "imports work for any conv/pool/route/reorg/"
+                             "connected net")
     parser.add_argument("-o", "--output", required=True,
                         help="output .npz params path")
     args = parser.parse_args()
@@ -36,7 +41,12 @@ def main():
 
     from yolojax.convert.store import save_params_npz
 
-    model = cfg.build_model()
+    if args.cfg:
+        from yolojax.convert.cfg import model_from_cfg
+
+        model = model_from_cfg(args.cfg)
+    else:
+        model = cfg.build_model()
     if args.tf1:
         from yolojax.convert.tf1 import load_tf1_checkpoint
 

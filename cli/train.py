@@ -212,6 +212,8 @@ def main():
                         top_k=cfg.detect.top_k,
                         map_iou=cfg.eval.map_iou,
                         use_pallas=cfg.detect.use_pallas,
+                        candidates=cfg.detect.candidates,
+                        fuse_stem_impl=cfg.detect.fuse_stem,
                         compute_dtype=compute_dtype,
                         max_detections=cfg.eval.max_detections,
                     )

@@ -341,3 +341,17 @@ def test_16_in_training_eval(workspace, monkeypatch, tmp_path):
     val_recs = [m for m in metrics if "val_map" in m]
     assert len(val_recs) == 1
     assert 0.0 <= val_recs[0]["val_map"] <= 1.0
+
+
+def test_17_train_with_grain_loader(workspace, monkeypatch, tmp_path):
+    """[queue] loader = grain drives the same training loop (SURVEY §2's
+    named Grain input pipeline as a first-class alternative)."""
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/grainlog",
+        "train.steps=2",
+        "queue.loader=grain",
+    ], monkeypatch)
+    metrics = [json.loads(l)
+               for l in open(tmp_path / "grainlog" / "yolo2_tiny" / "metrics.jsonl")]
+    assert len(metrics) == 2 and np.isfinite(metrics[-1]["total"])

@@ -95,6 +95,7 @@ class DetectConfig:
     nms_iou: float = 0.4
     top_k: int = 256
     use_pallas: str = "auto"
+    candidates: str = "auto"       # top-k select: auto|exact|approx
     stretch: bool = False          # plain resize instead of letterbox
     use_int8: bool = False         # post-training int8 conv trunk (v2 only)
     fuse_stem: str = "off"         # fused conv0+pool: off|auto|pallas|xla

@@ -26,6 +26,7 @@ log = logging.getLogger(__name__)
 
 def make_infer_fn(model: Model, *, score_thresh: float, iou_thresh: float,
                   top_k: int, use_pallas: str = "auto",
+                  candidates: str = "auto",
                   compute_dtype=jnp.bfloat16, qm=None):
     """jitted images -> {boxes, scores, classes, keep} (all fixed shape).
 
@@ -46,11 +47,12 @@ def make_infer_fn(model: Model, *, score_thresh: float, iou_thresh: float,
             return postprocess_v2(
                 head, model.anchors, score_thresh=score_thresh,
                 iou_thresh=iou_thresh, top_k=top_k, use_pallas=use_pallas,
+                candidates=candidates,
             )
         return postprocess_v1(
             head, model.grid, model.boxes_per_cell, model.num_classes,
             score_thresh=score_thresh, iou_thresh=iou_thresh, top_k=top_k,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, candidates=candidates,
         )
 
     return infer
@@ -69,6 +71,7 @@ def evaluate_model(
     top_k: int = 256,
     map_iou: float = 0.5,
     use_pallas: str = "auto",
+    candidates: str = "auto",
     compute_dtype=jnp.bfloat16,
     max_batches: Optional[int] = None,
     stretch: bool = False,
@@ -101,12 +104,12 @@ def evaluate_model(
                             jnp.asarray(calib_imgs[:8]))
         infer = make_infer_fn(model, score_thresh=score_thresh,
                               iou_thresh=nms_iou, top_k=top_k,
-                              use_pallas=use_pallas,
+                              use_pallas=use_pallas, candidates=candidates,
                               compute_dtype=compute_dtype, qm=qm)
     else:
         infer = make_infer_fn(model, score_thresh=score_thresh,
                               iou_thresh=nms_iou, top_k=top_k,
-                              use_pallas=use_pallas,
+                              use_pallas=use_pallas, candidates=candidates,
                               compute_dtype=compute_dtype)
     detections = []
     ground_truth = []
