@@ -57,3 +57,29 @@ def test_quantized_weights_are_int8(folded_darknet):
         if "w_q" in v:
             assert v["w_q"].dtype == np.int8
             assert v["w_scale"].ndim == 1  # per-output-channel
+
+
+def test_int8_v1_dense_stack_tracks_f32():
+    """v1 (conv + flatten + dense) int8 path — was a documented limitation
+    in round 1; dense layers now quantize with per-column scales and the
+    final dense head stays bf16."""
+    model = get_model("yolo", "tiny", num_classes=3)
+    params, state = model.init(jax.random.PRNGKey(1), 64)
+    model, params, state = fold_bn(model, params, state)  # no-op (no BN)
+
+    rng = np.random.RandomState(1)
+    calib = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    qm = quantize_model(model, params, calib)
+    # head = the final dense layer, kept in bf16
+    from yolojax.nn.layers import DenseSpec
+
+    assert isinstance(model.specs[qm.head_index], DenseSpec)
+
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    ref, _ = model.apply(params, state, x, compute_dtype=jnp.float32)
+    got = apply_int8(qm, x)
+    assert got.shape == ref.shape
+    a = np.asarray(ref).ravel()
+    b = np.asarray(got).ravel()
+    cos = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.97, cos

@@ -13,8 +13,10 @@ BN must be folded first (yolojax/convert/fold.py). The conv accumulates in
 int32 (``preferred_element_type``); dequant + bias + leaky run fused in
 f32; requant to int8 feeds the next layer. Max-pool and reorg operate on
 int8 directly (positive scales preserve order); route concat dequantizes
-to f32 and requantizes at a fresh scale; the final head conv runs in bf16
-from dequantized input (box decode is scale-sensitive).
+to f32 and requantizes at a fresh scale; the final head layer (conv for v2,
+dense for v1) runs in bf16 from dequantized input (box decode is
+scale-sensitive). v1 dense stacks quantize the same way: per-out-column
+weight scales, int32 MXU accumulation, int8 flatten passthrough.
 """
 
 from __future__ import annotations
@@ -30,6 +32,9 @@ from jax import lax
 from yolojax.models import Model
 from yolojax.nn.layers import (
     ConvSpec,
+    DenseSpec,
+    DropoutSpec,
+    FlattenSpec,
     MaxPoolSpec,
     ReorgSpec,
     RouteSpec,
@@ -51,6 +56,16 @@ class QuantizedModel:
 
 def _conv_layers(model: Model) -> List[int]:
     return [i for i, s in enumerate(model.specs) if isinstance(s, ConvSpec)]
+
+
+def _quantizable_layers(model: Model) -> List[int]:
+    return [i for i, s in enumerate(model.specs)
+            if isinstance(s, (ConvSpec, DenseSpec))]
+
+
+def _pname(model: Model, i: int) -> str:
+    return (f"conv_{i}" if isinstance(model.specs[i], ConvSpec)
+            else f"dense_{i}")
 
 
 def calibrate(
@@ -90,9 +105,22 @@ def calibrate(
             x = jnp.concatenate(
                 [outputs[r if r >= 0 else i + r] for r in spec.layers], -1
             )
+        elif isinstance(spec, FlattenSpec):
+            n_, h_, w_, c_ = x.shape
+            x = x.transpose(0, 3, 1, 2).reshape(n_, c_ * h_ * w_)
+        elif isinstance(spec, DenseSpec):
+            layer = params[f"dense_{i}"]
+            y = jnp.dot(x.astype(compute_dtype),
+                        jnp.asarray(layer["w"]).astype(compute_dtype)
+                        ).astype(jnp.float32) + jnp.asarray(layer["b"])
+            if spec.act == "leaky":
+                y = leaky_relu(y)
+            x = y
+        elif isinstance(spec, DropoutSpec):
+            pass
         else:
             raise NotImplementedError(
-                f"int8 path supports conv trunks only, got {spec}"
+                f"int8 path: unsupported layer {spec}"
             )
         outputs.append(x)
         scales.append(float(jnp.max(jnp.abs(x))) / 127.0)
@@ -104,22 +132,25 @@ def quantize_model(
     params: Dict[str, Any],
     calib_images: jax.Array,
 ) -> QuantizedModel:
-    """Quantize a BN-folded v2 conv trunk. The last ConvSpec (head) stays
-    in bf16."""
-    conv_idx = _conv_layers(model)
-    head_index = conv_idx[-1]
+    """Quantize a BN-folded network (v2 conv trunk or v1 conv+dense stack).
+    The last conv/dense (head) stays in bf16."""
+    q_idx = _quantizable_layers(model)
+    head_index = q_idx[-1]
     input_scale, act_scales = calibrate(model, params, calib_images)
     qparams: Dict[str, Any] = {}
-    for i in conv_idx:
-        layer = params[f"conv_{i}"]
+    for i in q_idx:
+        name = _pname(model, i)
+        layer = params[name]
         w = np.asarray(layer["w"], np.float32)
         b = np.asarray(layer["b"], np.float32)
         if i == head_index:
-            qparams[f"conv_{i}"] = {"w": w, "b": b}
+            qparams[name] = {"w": w, "b": b}
             continue
-        w_scale = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-8) / 127.0
+        # per-out-channel (conv: last axis; dense: out column) scales
+        reduce_axes = tuple(range(w.ndim - 1))
+        w_scale = np.maximum(np.abs(w).max(axis=reduce_axes), 1e-8) / 127.0
         w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
-        qparams[f"conv_{i}"] = {
+        qparams[name] = {
             "w_q": w_q,
             "w_scale": w_scale.astype(np.float32),
             "b": b,
@@ -144,10 +175,13 @@ def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
         if isinstance(spec, ConvSpec):
             lp = qm.qparams[f"conv_{i}"]
             if i == qm.head_index:
+                kh = lp["w"].shape[0]
+                pad = (_darknet_padding(x_q.shape[1], kh, spec.stride),
+                       _darknet_padding(x_q.shape[2], kh, spec.stride))
                 y = lax.conv_general_dilated(
                     (x_q.astype(jnp.float32) * in_scale).astype(jnp.bfloat16),
                     jnp.asarray(lp["w"]).astype(jnp.bfloat16),
-                    (spec.stride, spec.stride), "SAME",
+                    (spec.stride, spec.stride), pad,
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 ).astype(jnp.float32) + jnp.asarray(lp["b"])
                 head = y
@@ -181,11 +215,38 @@ def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
             )
             x_q = _requant(f32, qm.act_scales[i])
             in_scale = qm.act_scales[i]
+        elif isinstance(spec, FlattenSpec):
+            n_, h_, w_, c_ = x_q.shape
+            x_q = x_q.transpose(0, 3, 1, 2).reshape(n_, c_ * h_ * w_)
+        elif isinstance(spec, DenseSpec):
+            lp = qm.qparams[f"dense_{i}"]
+            if i == qm.head_index:
+                y = jnp.dot(
+                    (x_q.astype(jnp.float32) * in_scale).astype(jnp.bfloat16),
+                    jnp.asarray(lp["w"]).astype(jnp.bfloat16),
+                ).astype(jnp.float32) + jnp.asarray(lp["b"])
+                head = y
+                x_q = _requant(y, qm.act_scales[i])
+            else:
+                acc = jax.lax.dot_general(
+                    x_q, jnp.asarray(lp["w_q"]),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y = acc.astype(jnp.float32) * (
+                    in_scale * jnp.asarray(lp["w_scale"])
+                ) + jnp.asarray(lp["b"])
+                if spec.act == "leaky":
+                    y = leaky_relu(y)
+                x_q = _requant(y, qm.act_scales[i])
+            in_scale = qm.act_scales[i]
+        elif isinstance(spec, DropoutSpec):
+            pass  # eval mode
         else:
             raise NotImplementedError(spec)
         outputs_q.append((x_q, in_scale))
-    n, h, w, _ = head.shape
     if model.kind == "v2":
+        n, h, w, _ = head.shape
         return head.reshape(n, h, w, model.num_anchors,
                             5 + model.num_classes)
     return head
