@@ -46,12 +46,16 @@ def main():
     from yolojax.convert.fold import fold_bn
 
     model, params, bn_state = fold_bn(model, params, bn_state)
+    from yolojax.nn.stem import fuse_stem
+
+    model, params, bn_state = fuse_stem(model, params, bn_state,
+                                        impl=cfg.detect.fuse_stem)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
     infer = make_infer_fn(
         model, score_thresh=cfg.detect.threshold,
         iou_thresh=cfg.detect.nms_iou, top_k=cfg.detect.top_k,
-        use_pallas=cfg.detect.use_pallas,
+        use_pallas=cfg.detect.use_pallas, candidates=cfg.detect.candidates,
         compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
         else jnp.bfloat16,
     )
