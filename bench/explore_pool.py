@@ -80,6 +80,41 @@ def _pool_c_bwd(res, dy):
 pool_c.defvjp(_pool_c_fwd, _pool_c_bwd)
 
 
+@jax.custom_vjp
+def pool_d(x):
+    return _pool22(x)
+
+
+def _pool_d_fwd(x):
+    y = _pool22(x)
+    return y, (x, y)
+
+
+def _pool_d_bwd(res, dy):
+    # First-max routing (exactly select-and-scatter's tie behavior: window
+    # scan order, >= keeps the earlier element), written as elementwise ops
+    # on the four non-overlapping phases — no broadcasts, no scatter.
+    x, y = res
+    n, h, w, c = x.shape
+    ph = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    v00, v01 = ph[:, :, 0, :, 0], ph[:, :, 0, :, 1]
+    v10, v11 = ph[:, :, 1, :, 0], ph[:, :, 1, :, 1]
+    m00 = v00 == y
+    m01 = (v01 == y) & ~m00
+    m10 = (v10 == y) & ~m00 & ~m01
+    m11 = ~m00 & ~m01 & ~m10
+    z = jnp.zeros_like(dy)
+    dx = jnp.stack(
+        [jnp.stack([jnp.where(m00, dy, z), jnp.where(m01, dy, z)], axis=3),
+         jnp.stack([jnp.where(m10, dy, z), jnp.where(m11, dy, z)], axis=3)],
+        axis=2,
+    )  # (n, h//2, 2, w//2, 2, c)
+    return (dx.reshape(n, h, w, c),)
+
+
+pool_d.defvjp(_pool_d_fwd, _pool_d_bwd)
+
+
 def timeit(fn, x, n=20):
     g = jax.jit(jax.grad(lambda x: fn(x).astype(jnp.float32).sum()))
     jax.block_until_ready(g(x))
@@ -106,15 +141,16 @@ def main():
         ta = timeit(functools.partial(max_pool, size=2, stride=2), x)
         tb = timeit(pool_b, x)
         tc = timeit(pool_c, x)
-        # correctness (no ties in uniform random): B == C == A
+        td = timeit(pool_d, x)
+        # D must match select-and-scatter EXACTLY (same first-max ties)
         ga = jax.jit(jax.grad(
             lambda x: max_pool(x, 2, 2).astype(jnp.float32).sum()))(x)
-        gb = jax.jit(jax.grad(
-            lambda x: pool_b(x).astype(jnp.float32).sum()))(x)
-        ok = bool(jnp.all(ga == gb))
+        gd = jax.jit(jax.grad(
+            lambda x: pool_d(x).astype(jnp.float32).sum()))(x)
+        ok = bool(jnp.all(ga == gd))
         print(f"{h}^2x{c} b{b}: A reduce_window {ta*1e3:7.3f} ms | "
               f"B tie-split {tb*1e3:7.3f} ms | C route-all {tc*1e3:7.3f} ms"
-              f" | grad B==A: {ok}")
+              f" | D first-max {td*1e3:7.3f} ms | grad D==A: {ok}")
 
 
 if __name__ == "__main__":

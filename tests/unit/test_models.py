@@ -88,3 +88,35 @@ def test_bn_train_updates_running_stats():
     before = state["conv_0"]["mean"]
     after = new_state["conv_0"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_max_pool22_gradient_semantics():
+    """Whatever backs max_pool, its 2x2/2 gradient must be BITWISE
+    select-and-scatter's (first-max tie routing), including on tie-heavy
+    inputs like the 0.5-gray letterbox/augmentation fill regions. Gates any
+    future fast-path experiment (two have been measured and rejected —
+    see the NOTE in layers.py and PERF.md)."""
+    from jax import lax
+
+    from yolojax.nn.layers import max_pool
+
+    def pool_raw(x):  # the general reduce_window path (s&s backward)
+        return lax.reduce_window(
+            x, jnp.dtype(x.dtype).type(-jnp.inf), lax.max,
+            (1, 2, 2, 1), (1, 2, 2, 1), ((0, 0),) * 4)
+
+    key = jax.random.PRNGKey(0)
+    rand = jax.random.uniform(key, (2, 8, 8, 3), jnp.float32)
+    # quantize to force plenty of exact ties, plus a constant gray block
+    tied = jnp.round(rand * 4) / 4
+    tied = tied.at[:, :4, :4, :].set(0.5)
+    for x in (rand, tied, tied.astype(jnp.bfloat16)):
+        dy = jax.random.normal(
+            jax.random.PRNGKey(1), (2, 4, 4, 3)).astype(x.dtype)
+        g_fast = jax.grad(
+            lambda x: (max_pool(x, 2, 2) * dy).astype(jnp.float32).sum())(x)
+        g_raw = jax.grad(
+            lambda x: (pool_raw(x) * dy).astype(jnp.float32).sum())(x)
+        np.testing.assert_array_equal(np.asarray(g_fast), np.asarray(g_raw))
+        np.testing.assert_array_equal(
+            np.asarray(max_pool(x, 2, 2)), np.asarray(pool_raw(x)))

@@ -170,11 +170,19 @@ def leaky_relu(x: jax.Array, alpha: float = 0.1) -> jax.Array:
 
 def max_pool(x: jax.Array, size: int, stride: int) -> jax.Array:
     """Max pool with Darknet-compatible padding (SAME-style, -inf pads)."""
-    # NOTE (round-2 measured): a reshape+max fast path for the 2x2/2 case
-    # LOSES to reduce_window on v5e — the max VJP lowers to two full
-    # (N,H/2,2,W/2,2,C) broadcasts with hostile layouts (+5.7 ms/step at
-    # b64/416) while select-and-scatter is already well-tuned. Keep
-    # reduce_window for all cases.
+    # NOTE (round-2, both measured and rejected): two 2x2/2 fast paths
+    # LOSE to reduce_window on v5e inside the real train graph, where the
+    # activations carry batch-minor tiled layouts:
+    #   1. reshape+jnp.max forward: its VJP lowers to two full 6-D
+    #      broadcasts (+5.7 ms/step at b64/416);
+    #   2. custom_vjp with elementwise first-max phase routing: 2-3x
+    #      faster than select-and-scatter standalone (bench/
+    #      explore_pool.py), but in-graph every (N,H/2,2,W/2,2,C)
+    #      reshape materializes as a "data formatting" copy against the
+    #      {0,3,2,1} conv layouts: 87 -> 154 ms/step.
+    # select-and-scatter runs at ~450 GB/s (~72% of its HBM floor) and is
+    # the keeper. tests/unit/test_models.py gates gradient semantics
+    # (first-max ties) for any future attempt.
     total = max((math.ceil(x.shape[1] / stride) - 1) * stride + size - x.shape[1], 0)
     pad_h = (total // 2, total - total // 2)
     total_w = max((math.ceil(x.shape[2] / stride) - 1) * stride + size - x.shape[2], 0)
