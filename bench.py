@@ -43,9 +43,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from yolojax.models import get_model
-    from yolojax.postprocess.nms import postprocess_v1, postprocess_v2
-
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     compute = jnp.bfloat16 if on_tpu else jnp.float32
@@ -58,56 +55,7 @@ def main():
         args.batch = 1
         args.iters = 50
 
-    def build_infer(int8):
-        from yolojax.convert.fold import fold_bn
-        from yolojax.nn.stem import fuse_stem
-
-        model = get_model(args.family, args.model, num_classes=20)
-        params, state = model.init(jax.random.PRNGKey(0), args.dim)
-        model, params, state = fold_bn(model, params, state)  # inference
-        if not int8:
-            model, params, state = fuse_stem(model, params, state,
-                                             impl=args.fuse_stem)
-        params = jax.device_put(params)
-        state = jax.device_put(state)
-
-        if int8:
-            if model.kind != "v2":
-                raise SystemExit("--int8 supports conv-trunk (v2) models "
-                                 "only")
-            from yolojax.quantize.ptq import apply_int8, quantize_model
-
-            calib = jax.random.uniform(
-                jax.random.PRNGKey(9), (8, args.dim, args.dim, 3),
-                jnp.float32)
-            qm = quantize_model(model, jax.device_get(params), calib)
-
-            def forward(images):
-                return apply_int8(qm, images)
-        else:
-            def forward(images):
-                head, _ = model.apply(params, state, images,
-                                      compute_dtype=compute)
-                return head
-
-        def infer(images):
-            head = forward(images)
-            if model.kind == "v2":
-                out = postprocess_v2(
-                    head, model.anchors, score_thresh=0.3, iou_thresh=0.4,
-                    top_k=args.top_k, use_pallas="auto",
-                )
-            else:
-                out = postprocess_v1(
-                    head, model.grid, model.boxes_per_cell,
-                    model.num_classes, score_thresh=0.2, iou_thresh=0.4,
-                    top_k=min(args.top_k, 128), use_pallas="auto",
-                )
-            return out["boxes"], out["scores"], out["classes"], out["keep"]
-
-        return infer
-
-    infer = build_infer(args.int8)
+    infer = build_infer(args, jax, jnp, compute, args.int8)
 
     # Every iteration gets a DISTINCT input (device-side scalar add keyed on
     # the iteration index). The axon remote executor dedupes repeated
@@ -177,8 +125,15 @@ def main():
         # (round-1 spread was 3965-4222 for the same config)
         reps = sorted(run(args.iters, True) for _ in range(5))
         ctrl = sorted(run(args.iters, False) for _ in range(5))
-        dt = max(reps[len(reps) // 2] - ctrl[len(ctrl) // 2], 1e-9)
-        return args.batch * args.iters / dt
+        raw = reps[len(reps) // 2] - ctrl[len(ctrl) // 2]
+        if raw <= 0.25 * ctrl[len(ctrl) // 2]:
+            # the inference cost is within the control's noise band — the
+            # subtraction is meaningless (tiny --batch/--iters); refuse to
+            # print an absurd number silently
+            print(f"WARNING: noise-limited measurement (infer-ctrl delta "
+                  f"{raw * 1e3:.2f} ms); raise --batch/--iters",
+                  file=sys.stderr)
+        return args.batch * args.iters / max(raw, 1e-9)
 
     imgs_per_sec = measure(infer_jit)
     baseline_per_chip = 5000.0 / 8.0  # driver target spread over a v5e-8
@@ -195,11 +150,64 @@ def main():
     # fields of the same line — the two serving dtypes are one metric.
     if (on_tpu and not args.int8 and args.family == "yolo2"
             and args.model == "darknet"):
-        int8_rate = measure(jax.jit(build_infer(True)))
+        int8_rate = measure(jax.jit(build_infer(args, jax, jnp, compute,
+                                                True)))
         result["int8_images_per_sec"] = round(int8_rate, 2)
         result["int8_vs_baseline"] = round(int8_rate / baseline_per_chip, 4)
     print(json.dumps(result))
     return 0
+
+
+def build_infer(args, jax, jnp, compute, int8):
+    """Serving graph for (family, model, dim): BN-folded forward (bf16 or
+    int8-PTQ trunk) + decode + top-K + NMS. Returns infer(images) ->
+    (boxes, scores, classes, keep). Shared by the throughput/latency modes
+    and the --e2e host-streaming mode so they measure the same graph."""
+    from yolojax.convert.fold import fold_bn
+    from yolojax.models import get_model
+    from yolojax.nn.stem import fuse_stem
+    from yolojax.postprocess.nms import postprocess_v1, postprocess_v2
+
+    model = get_model(args.family, args.model, num_classes=20)
+    params, state = model.init(jax.random.PRNGKey(0), args.dim)
+    model, params, state = fold_bn(model, params, state)  # inference-time
+    if not int8:
+        model, params, state = fuse_stem(model, params, state,
+                                         impl=args.fuse_stem)
+    params = jax.device_put(params)
+    state = jax.device_put(state)
+
+    if int8:
+        from yolojax.quantize.ptq import apply_int8, quantize_model
+
+        calib = jax.random.uniform(
+            jax.random.PRNGKey(9), (8, args.dim, args.dim, 3), jnp.float32)
+        qm = quantize_model(model, jax.device_get(params), calib)
+
+        def forward(images):
+            return apply_int8(qm, images)
+    else:
+        def forward(images):
+            head, _ = model.apply(params, state, images,
+                                  compute_dtype=compute)
+            return head
+
+    def infer(images):
+        head = forward(images)
+        if model.kind == "v2":
+            out = postprocess_v2(
+                head, model.anchors, score_thresh=0.3, iou_thresh=0.4,
+                top_k=args.top_k, use_pallas="auto",
+            )
+        else:
+            out = postprocess_v1(
+                head, model.grid, model.boxes_per_cell,
+                model.num_classes, score_thresh=0.2, iou_thresh=0.4,
+                top_k=min(args.top_k, 128), use_pallas="auto",
+            )
+        return out["boxes"], out["scores"], out["classes"], out["keep"]
+
+    return infer
 
 
 def bench_e2e(args, jax, jnp, compute, backend):
@@ -210,35 +218,11 @@ def bench_e2e(args, jax, jnp, compute, backend):
     import os
     import time as _time
 
-    # bench.py shadows the bench/ package name; load host_feed by path
-    import importlib.util as _ilu
+    # the bench/ package wins import precedence over this bench.py module
+    from bench.host_feed import _make_jpegs
 
-    _spec = _ilu.spec_from_file_location(
-        "host_feed",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench", "host_feed.py"))
-    _hf = _ilu.module_from_spec(_spec)
-    _spec.loader.exec_module(_hf)
-    _make_jpegs = _hf._make_jpegs
-
-    from yolojax.convert.fold import fold_bn
-    from yolojax.models import get_model
-    from yolojax.postprocess.nms import postprocess_v2
-
-    model = get_model("yolo2", args.model, num_classes=20)
-    params, state = model.init(jax.random.PRNGKey(0), args.dim)
-    model, params, state = fold_bn(model, params, state)
-    params = jax.device_put(params)
-    state = jax.device_put(state)
-
-    def infer(images):
-        head, _ = model.apply(params, state, images, compute_dtype=compute)
-        out = postprocess_v2(head, model.anchors, score_thresh=0.3,
-                             iou_thresh=0.4, top_k=args.top_k,
-                             use_pallas="auto")
-        return out["keep"]
-
-    infer_jit = jax.jit(infer)
+    infer_full = build_infer(args, jax, jnp, compute, args.int8)
+    infer_jit = jax.jit(lambda images: infer_full(images)[3])  # keep mask
 
     n_imgs = max(args.batch * 4, 128)
     paths = _make_jpegs("/tmp/yolojax_e2e_jpegs", n_imgs)
@@ -285,8 +269,8 @@ def bench_e2e(args, jax, jnp, compute, backend):
 
     import json as _json
     print(_json.dumps({
-        "metric": f"yolov2-{args.dim} e2e serving (jpeg decode -> device "
-                  f"infer+NMS) [{backend}, {os.cpu_count()} host cores]",
+        "metric": f"{args.family}-{args.dim} e2e serving (jpeg decode -> "
+                  f"device infer+NMS) [{backend}, {os.cpu_count()} host cores]",
         "value": round(e2e_rate, 2),
         "unit": "images/sec",
         "vs_baseline": round(e2e_rate / (5000.0 / 8.0), 4),
@@ -297,30 +281,20 @@ def bench_e2e(args, jax, jnp, compute, backend):
 
 def _device_latency_ms(jax, infer_jit, perturb, images, n=10):
     """Median device-side duration of the jit_infer program via profiler."""
-    import glob
-    import gzip
-    import json as _json
     import os
+    import shutil
+
+    from yolojax.utils.profiling import load_device_events
 
     trace_dir = "/tmp/yolojax_latency_prof"
-    os.system(f"rm -rf {trace_dir}")
+    shutil.rmtree(trace_dir, ignore_errors=True)
     with jax.profiler.trace(trace_dir):
         out = None
         for i in range(n):
             out = infer_jit(perturb(images, float(i + 1)))
         jax.device_get(out[3][:1, :1])
-    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    with gzip.open(paths[0], "rt") as f:
-        trace = _json.load(f)
-    pid_names = {e["pid"]: e["args"].get("name", "")
-                 for e in trace["traceEvents"]
-                 if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev = {p for p, nm in pid_names.items() if "TPU" in nm or "/device" in nm}
-    durs = sorted(
-        e["dur"] for e in trace["traceEvents"]
-        if e.get("ph") == "X" and e.get("dur") and e["pid"] in dev
-        and e["name"].startswith("jit_infer")
-    )
+    durs = sorted(e["dur"] for e in load_device_events(trace_dir)
+                  if e["name"].startswith("jit_infer"))
     if not durs:  # non-TPU backends: fall back to host timing
         import time as _t
 
@@ -362,7 +336,7 @@ def bench_train(args, jax, jnp, compute, backend):
         OptimizerConfig, init_train_state, make_optimizer, make_train_step,
     )
 
-    model = get_model("yolo2", args.model, num_classes=20)
+    model = get_model(args.family, args.model, num_classes=20)
     tx = make_optimizer(OptimizerConfig(optimizer="momentum",
                                         learning_rate=1e-3))
     ts = jax.device_put(
@@ -402,7 +376,7 @@ def bench_train(args, jax, jnp, compute, backend):
     dt = min(timed() for _ in range(2)) / n
     imgs_per_sec = b / dt
     print(json.dumps({
-        "metric": f"yolov2-{args.dim} {args.model} train step "
+        "metric": f"{args.family}-{args.dim} {args.model} train step "
                   f"(aug+fwd+bwd+opt) [{backend}]",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",

@@ -4,9 +4,6 @@
 Captures a jax.profiler trace of N steady-state inference steps and prints
 the top device ops by total duration, splitting forward vs postprocess.
 """
-import glob
-import gzip
-import json
 import os
 import sys
 import time
@@ -53,25 +50,11 @@ def main():
             out = infer(params, perturb(images, float(i + 1)))
         jax.device_get(out[:1, :1])
 
-    # parse the trace.json.gz for device-side events
-    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    assert paths, os.listdir(trace_dir)
-    with gzip.open(paths[0], "rt") as f:
-        trace = json.load(f)
-    events = [e for e in trace.get("traceEvents", [])
-              if e.get("ph") == "X" and e.get("dur")]
-    # device lanes: pid names containing "TPU" and not "host"
-    pid_names = {e["pid"]: e["args"].get("name", "")
-                 for e in trace["traceEvents"]
-                 if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev_pids = {p for p, n in pid_names.items()
-                if "TPU" in n or "tpu" in n or "/device" in n}
+    from yolojax.utils.profiling import load_device_events
+
     agg = {}
-    for e in events:
-        if e["pid"] not in dev_pids:
-            continue
-        name = e["name"]
-        a = agg.setdefault(name, [0, 0.0])
+    for e in load_device_events(trace_dir):
+        a = agg.setdefault(e["name"], [0, 0.0])
         a[0] += 1
         a[1] += e["dur"]  # microseconds
     rows = sorted(agg.items(), key=lambda kv: -kv[1][1])

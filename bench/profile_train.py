@@ -1,8 +1,5 @@
 #!/usr/bin/env python3
 """Per-fusion device profile of the training step (round-2 perf work)."""
-import glob
-import gzip
-import json
 import os
 import sys
 
@@ -44,18 +41,13 @@ def main():
             ts, m = step(ts, (x, boxes, cls, valid), rng, dim=dim)
         float(jax.device_get(m["total"]))
 
-    paths = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
-    with gzip.open(paths[0], "rt") as f:
-        trace = json.load(f)
-    pid_names = {e["pid"]: e["args"].get("name", "") for e in trace["traceEvents"]
-                 if e.get("ph") == "M" and e.get("name") == "process_name"}
-    dev = {p for p, n in pid_names.items() if "TPU" in n or "/device" in n}
+    from yolojax.utils.profiling import load_device_events
+
     agg = {}
-    for e in trace["traceEvents"]:
-        if e.get("ph") == "X" and e.get("dur") and e["pid"] in dev:
-            a = agg.setdefault(e["name"], [0, 0.0, e.get("args", {})])
-            a[0] += 1
-            a[1] += e["dur"]
+    for e in load_device_events(trace_dir):
+        a = agg.setdefault(e["name"], [0, 0.0, e.get("args", {})])
+        a[0] += 1
+        a[1] += e["dur"]
     rows = sorted(agg.items(), key=lambda kv: -kv[1][1])
     n_it = 4
     for name, (cnt, dur, args) in rows[:30]:

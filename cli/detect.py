@@ -45,10 +45,7 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
 
-    import cv2 as _cv2
-    import numpy as _np
-
-    from yolojax.data.augment import letterbox_host as _letterbox
+    import cv2
 
     qm = None
     if cfg.detect.use_int8:
@@ -58,10 +55,10 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
         # same way the forward pass will see them) — real data, not noise.
         calib_imgs = []
         for p in image_paths[:8]:
-            raw = _cv2.cvtColor(_cv2.imread(p), _cv2.COLOR_BGR2RGB)
-            canvas, _ = _letterbox(raw, dim, stretch=cfg.detect.stretch)
+            raw = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            canvas, _ = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
             calib_imgs.append(canvas)
-        calib = jnp.asarray(_np.stack(calib_imgs))
+        calib = jnp.asarray(np.stack(calib_imgs))
         qm = quantize_model(model, jax.device_get(params), calib)
         log.info("int8 conv trunk enabled (calibrated on %d input images)",
                  len(calib_imgs))
@@ -72,8 +69,6 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
         compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
         else jnp.bfloat16, qm=qm,
     )
-
-    import cv2
 
     # Batched path: pad the image list up to a fixed batch so many-image
     # detects compile once and ride the chip's batched throughput (the

@@ -191,10 +191,36 @@ def test_grain_loader_matches_contract(tmp_path):
     # per-example decode identical to the default loader
     nl = make_loader(cache, cfg, "native")
     a = nl._load_example(0)
-    b = gl._base._load_example(0)
+    b = gl._decode.map(0)
     np.testing.assert_array_equal(a[0], b[0])
 
     import pytest
 
     with pytest.raises(ValueError):
         make_loader(cache, cfg, "bogus")
+
+
+def test_grain_loader_multiprocess_workers(tmp_path):
+    """grain_workers > 0 spawns real Grain worker processes: the transforms
+    must pickle (module-level classes) and the batches must be identical to
+    the in-process path for the same (seed, epoch)."""
+    import numpy as np
+
+    from tests.util import VOC_NAMES, write_synthetic_voc
+    from yolojax.data.cache import build_cache
+    from yolojax.data.grain_loader import GrainLoader
+    from yolojax.data.loader import LoaderConfig
+
+    voc = tmp_path / "voc"
+    write_synthetic_voc(str(voc), n_images=8, size=(96, 64))
+    cache = build_cache(str(tmp_path / "cache"), "train",
+                        [{"kind": "voc", "root": str(voc),
+                          "image_set": "trainval"}], names=VOC_NAMES)
+    cfg = LoaderConfig(batch_size=4, canvas_dim=64, max_boxes=8, seed=3,
+                       grain_workers=1)
+    multi = list(GrainLoader(cache, cfg).epoch(0))
+    inline = list(GrainLoader(cache, cfg, worker_count=0).epoch(0))
+    assert len(multi) == len(inline) == 2
+    for m, s in zip(multi, inline):
+        for a, b in zip(m, s):
+            np.testing.assert_array_equal(a, b)

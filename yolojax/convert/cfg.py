@@ -137,6 +137,11 @@ def model_from_cfg(path: str):
         anchors = _floats(head.get("anchors", ""))
         num = int(head.get("num", len(anchors) // 2 or 5))
         classes = int(head.get("classes", 20))
+        if len(anchors) < 2 * num:
+            raise ValueError(
+                f"[region] num={num} needs {2 * num} anchor values but the "
+                f"anchors line has {len(anchors)} in {path}"
+            )
         anchor_pairs = tuple(
             (anchors[2 * i], anchors[2 * i + 1]) for i in range(num)
         )

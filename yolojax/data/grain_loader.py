@@ -12,8 +12,11 @@ determinism guarantees, and checkpointable iterators:
   classes (B, G) i32, valid (B, G) bool
 
 Select with ``[queue] loader = grain`` (cli/train.py) or construct
-directly. Sharding for multi-host uses grain's ShardOptions — each process
-reads a disjoint slice, matching the default loader's contract.
+directly; ``[queue] grain_workers = N`` spawns N Grain worker processes
+(0 = decode inline in the training process — the right default on small
+hosts; set it near the host core count for production decode throughput).
+Sharding for multi-host uses grain's ShardOptions — each process reads a
+disjoint slice, matching the default loader's contract.
 """
 
 from __future__ import annotations
@@ -29,44 +32,79 @@ from yolojax.data.loader import Loader, LoaderConfig
 
 log = logging.getLogger(__name__)
 
+try:  # environment-gated: grain is baked in here, but stay importable without
+    import grain.python as _gp
+except Exception:  # pragma: no cover
+    _gp = None
+
+
+class _IndexSource:
+    """Trivial record source: record i = index i (decode happens in the
+    MapTransform). Module-level so Grain worker processes can pickle it."""
+
+    def __init__(self, n: int):
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i):
+        return int(i)
+
+
+if _gp is not None:
+
+    class _DecodeExample(_gp.MapTransform):
+        """Decode + letterbox + GT-pad one example, bit-identical to the
+        default loader (reuses Loader._load_example). Holds only
+        (cache, cfg) so it pickles into spawned Grain workers; the Loader
+        is built lazily per process (native pool off: Grain owns the
+        process parallelism)."""
+
+        def __init__(self, cache: DatasetCache, cfg: LoaderConfig):
+            self._cache = cache
+            self._cfg = dataclasses.replace(cfg, use_native=False)
+            self._loader = None
+
+        def __getstate__(self):
+            return {"cache": self._cache, "cfg": self._cfg}
+
+        def __setstate__(self, state):
+            self._cache = state["cache"]
+            self._cfg = state["cfg"]
+            self._loader = None
+
+        def map(self, i):
+            if self._loader is None:
+                self._loader = Loader(self._cache, self._cfg)
+            return self._loader._load_example(int(i))
+
 
 class GrainLoader:
     """Grain DataLoader yielding the same fixed-shape batches as Loader."""
 
     def __init__(self, cache: DatasetCache, cfg: LoaderConfig,
-                 *, worker_count: int = 0):
-        import grain.python as gp
-
+                 *, worker_count: int | None = None):
+        if _gp is None:  # pragma: no cover
+            raise RuntimeError("grain is not installed; use loader=native")
         self.cache = cache
         self.cfg = cfg
-        # reuse the single-example decode path (incl. letterbox + GT
-        # padding) from the default loader so both loaders are bit-identical
-        # per example
-        self._base = Loader(cache, dataclasses.replace(cfg, use_native=False))
-        self._gp = gp
-        self._worker_count = worker_count
+        self._decode = _DecodeExample(cache, cfg)
+        self._worker_count = (cfg.grain_workers if worker_count is None
+                              else worker_count)
+        if self._worker_count:
+            log.info("grain loader: %d worker processes", self._worker_count)
 
     def __len__(self) -> int:
-        return len(self._base)
+        n = len(self.cache) // self.cfg.shard_count
+        b = self.cfg.batch_size
+        return n // b if self.cfg.drop_remainder else (n + b - 1) // b
 
     def epoch(self, epoch_idx: int = 0, *, shuffle: bool = True) -> Iterator:
-        gp = self._gp
+        gp = _gp
         cfg = self.cfg
-        base = self._base
-
-        class _Source:
-            def __len__(self):
-                return len(base.cache)
-
-            def __getitem__(self, i):
-                return int(i)
-
-        class _Decode(gp.MapTransform):
-            def map(self, i):
-                return base._load_example(int(i))
-
         sampler = gp.IndexSampler(
-            num_records=len(base.cache),
+            num_records=len(self.cache),
             shard_options=gp.ShardOptions(
                 shard_index=cfg.shard_index, shard_count=cfg.shard_count,
                 drop_remainder=cfg.drop_remainder,
@@ -76,10 +114,10 @@ class GrainLoader:
             seed=cfg.seed + epoch_idx,  # deterministic per (seed, epoch)
         )
         loader = gp.DataLoader(
-            data_source=_Source(),
+            data_source=_IndexSource(len(self.cache)),
             sampler=sampler,
             operations=[
-                _Decode(),
+                self._decode,
                 gp.Batch(batch_size=cfg.batch_size,
                          drop_remainder=cfg.drop_remainder),
             ],

@@ -41,6 +41,7 @@ class LoaderConfig:
     drop_remainder: bool = True
     use_native: bool = True  # C++ decode pool when libyolodata.so is built
     loader: str = "native"   # native (threads + C++ pool) | grain
+    grain_workers: int = 0   # grain worker PROCESSES (0 = decode inline)
     # multi-host: each process loads a disjoint slice of every epoch
     shard_index: int = 0
     shard_count: int = 1

@@ -33,6 +33,35 @@ def enable_debug_nans(on: bool = True) -> None:
     jax.config.update("jax_debug_nans", on)
 
 
+def load_device_events(trace_dir: str) -> list:
+    """Parse a ``jax.profiler`` trace dir -> device-lane complete events.
+
+    Returns the raw chrome-trace event dicts (``ph == "X"`` with a ``dur``,
+    microseconds) whose pid belongs to a device lane (process_name metadata
+    contains "TPU"/"tpu" or "/device"). Shared by bench.py's latency mode
+    and the bench/profile_*.py fusion profilers so device-lane detection
+    cannot drift between tools.
+    """
+    import glob
+    import gzip
+    import json
+
+    paths = sorted(glob.glob(f"{trace_dir}/**/*.trace.json.gz",
+                             recursive=True))
+    if not paths:
+        return []
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    pid_names = {e["pid"]: e["args"].get("name", "")
+                 for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {p for p, n in pid_names.items()
+           if "TPU" in n or "tpu" in n or "/device" in n}
+    return [e for e in events
+            if e.get("ph") == "X" and e.get("dur") and e.get("pid") in dev]
+
+
 class StepTimer:
     """Wall-clock per-step timing with warmup-aware running stats."""
 
