@@ -19,6 +19,9 @@ def main():
     parser.add_argument("--weights", required=True)
     parser.add_argument("--phase", default="test")
     parser.add_argument("--max-batches", type=int, default=0)
+    parser.add_argument("--coco", action="store_true",
+                        help="also report COCO-style AP@[.50:.95], AP75 and "
+                             "small/medium/large APs (BASELINE config 5)")
     args = parser.parse_args()
     cfg = setup(args)
 
@@ -52,6 +55,7 @@ def main():
         stretch=cfg.detect.stretch,
         max_detections=cfg.eval.max_detections,
         int8=cfg.detect.use_int8,
+        coco=args.coco,
     )
     names = cfg.names()
     for c, name in enumerate(names):
@@ -59,7 +63,20 @@ def main():
             print(f"AP {name:>16s}: {metrics[f'ap_{c}']:.4f}")
     print(f"mAP@{cfg.eval.map_iou}: {metrics['map']:.4f} "
           f"({metrics['num_images']} images)")
-    print(json.dumps({k: v for k, v in metrics.items()}))
+    if args.coco:
+        print(f"COCO AP@[.50:.95]: {metrics['coco_map']:.4f}  "
+              f"AP50: {metrics.get('ap50', float('nan')):.4f}  "
+              f"AP75: {metrics.get('ap75', float('nan')):.4f}  "
+              f"S/M/L: {metrics.get('ap_small', float('nan')):.3f}/"
+              f"{metrics.get('ap_medium', float('nan')):.3f}/"
+              f"{metrics.get('ap_large', float('nan')):.3f}")
+    import math
+
+    # strict JSON: NaN (empty size bin) -> null
+    print(json.dumps({
+        k: (None if isinstance(v, float) and math.isnan(v) else v)
+        for k, v in metrics.items()
+    }))
 
 
 if __name__ == "__main__":

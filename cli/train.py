@@ -244,7 +244,10 @@ def main():
     ckpt.wait()
     if interrupted:
         raise SystemExit(130)
-    log.info("done: %d steps, mean %.3fs/step", tcfg.steps - step0, timer.mean)
+    import math as _math
+
+    mean = timer.last if _math.isnan(timer.mean) else timer.mean
+    log.info("done: %d steps, mean %.3fs/step", tcfg.steps - step0, mean)
 
 
 if __name__ == "__main__":

@@ -428,3 +428,12 @@ def test_cfg_parser_sections_and_errors(tmp_path):
 
     secs = parse_cfg_sections(str(p))
     assert [s[0] for s in secs] == ["net", "local"]
+
+    # [region] num exceeding the anchors list: descriptive error, not
+    # IndexError
+    p3 = tmp_path / "shortanchors.cfg"
+    p3.write_text("[net]\nheight=64\nwidth=64\n[convolutional]\nfilters=8\n"
+                  "size=3\npad=1\nactivation=leaky\n[region]\nnum=5\n"
+                  "classes=20\nanchors=1.0,1.0 2.0,2.0\n")
+    with pytest.raises(ValueError, match="anchor"):
+        model_from_cfg(str(p3))

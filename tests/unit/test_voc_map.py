@@ -76,3 +76,40 @@ def test_voc_ap_monotone_envelope():
     # mpre envelope right-to-left: [1.0, 0.75, 0.75, 0.3]
     want = 0.1 * 1.0 + 0.1 * 0.75 + 0.2 * 0.75 + 0.6 * 0.3
     np.testing.assert_allclose(ap, want, rtol=1e-9)
+
+
+def test_coco_map_perfect_detection():
+    from yolojax.eval.voc_map import compute_coco_map
+
+    gt = [(0, 0, np.array([0.0, 0.0, 10.0, 10.0]))]
+    det = [(0, 0, 0.9, np.array([0.0, 0.0, 10.0, 10.0]))]
+    m = compute_coco_map(det, gt, 1)
+    assert m["coco_map"] == 1.0 and m["ap50"] == 1.0 and m["ap75"] == 1.0
+
+
+def test_coco_map_partial_iou_counts_low_thresholds_only():
+    from yolojax.eval.voc_map import compute_coco_map
+
+    gt = [(0, 0, np.array([0.0, 0.0, 10.0, 10.0]))]
+    # IoU = 6/14 ≈ 0.429 < 0.5 -> no threshold matches
+    det_low = [(0, 0, 0.9, np.array([4.0, 0.0, 14.0, 10.0]))]
+    assert compute_coco_map(det_low, gt, 1)["coco_map"] == 0.0
+    # IoU = 8/12 ≈ 0.667 -> matches t in {.50,.55,.60,.65} = 4/10
+    det_mid = [(0, 0, 0.9, np.array([2.0, 0.0, 12.0, 10.0]))]
+    m = compute_coco_map(det_mid, gt, 1)
+    np.testing.assert_allclose(m["coco_map"], 0.4)
+    assert m["ap50"] == 1.0 and m["ap75"] == 0.0
+
+
+def test_coco_map_size_bins_with_box_scale():
+    from yolojax.eval.voc_map import compute_coco_map
+
+    # normalized boxes on a 416 canvas: 0.05 -> 20.8 px (small),
+    # 0.5 -> 208 px (large)
+    small = np.array([0.0, 0.0, 0.05, 0.05])
+    large = np.array([0.1, 0.1, 0.6, 0.6])
+    gt = [(0, 0, small), (0, 0, large)]
+    det = [(0, 0, 0.9, small), (0, 0, 0.8, large)]
+    m = compute_coco_map(det, gt, 1, box_scale=416.0)
+    assert m["ap_small"] == 1.0 and m["ap_large"] == 1.0
+    assert np.isnan(m["ap_medium"])  # no medium GT on this set

@@ -79,6 +79,7 @@ def evaluate_model(
     fuse_stem_impl: str = "off",
     int8: bool = False,  # post-training int8 conv trunk (implies fold)
     max_detections: int = 0,  # cap kept detections per image (0 = no cap)
+    coco: bool = False,  # add COCO-style AP@[.50:.95] + size bins
 ) -> Dict[str, float]:
     """Run detection over a cached phase and return VOC AP metrics."""
     if fold or int8:
@@ -140,6 +141,14 @@ def evaluate_model(
              img_id, len(detections), len(ground_truth))
     metrics = compute_map(detections, ground_truth, model.num_classes,
                           iou_thresh=map_iou)
+    if coco:
+        from yolojax.eval.voc_map import compute_coco_map
+
+        # boxes are canvas-normalized; scale areas to canvas pixels so the
+        # COCO small/medium/large bins mean what they do in COCO
+        metrics.update(compute_coco_map(detections, ground_truth,
+                                        model.num_classes,
+                                        box_scale=float(input_dim)))
     metrics["num_images"] = img_id
     metrics["num_detections"] = len(detections)
     return metrics

@@ -97,3 +97,66 @@ def compute_map(
     out = {f"ap_{c}": v for c, v in aps.items()}
     out["map"] = float(np.mean(list(aps.values()))) if aps else 0.0
     return out
+
+
+# COCO size bins in pixel^2 (areas computed after ``box_scale``)
+COCO_AREA_RANGES = {
+    "small": (0.0, 32.0**2),
+    "medium": (32.0**2, 96.0**2),
+    "large": (96.0**2, float("inf")),
+}
+
+
+def compute_coco_map(
+    detections: Sequence[Tuple[int, int, float, np.ndarray]],
+    ground_truth: Sequence[Tuple[int, int, np.ndarray]],
+    num_classes: int,
+    *,
+    box_scale: float = 1.0,
+    iou_thresholds: Sequence[float] = tuple(
+        round(0.5 + 0.05 * i, 2) for i in range(10)),
+) -> Dict[str, float]:
+    """COCO-style metrics on the same (image_id, class, score, box) streams
+    as :func:`compute_map` (boxes ymin,xmin,ymax,xmax; GT matched at most
+    once per class, continuous interpolation).
+
+    Returns ``coco_map`` = mean AP over IoU .50:.05:.95, plus ``ap50`` /
+    ``ap75`` and size-binned ``ap_small`` / ``ap_medium`` / ``ap_large``
+    (GT binned by area after ``box_scale``: pass the canvas pixel dim when
+    boxes are canvas-normalized; detections falling outside the bin are
+    ignored rather than counted as false positives, per COCO).
+
+    The reference had no evaluator at all (SURVEY.md §4) — this extends the
+    VOC protocol for COCO-trained configs (BASELINE config 5).
+    """
+
+    def _area(box) -> float:
+        b = np.asarray(box, np.float64) * box_scale
+        return max(b[2] - b[0], 0.0) * max(b[3] - b[1], 0.0)
+
+    out: Dict[str, float] = {}
+    per_t = [
+        compute_map(detections, ground_truth, num_classes,
+                    iou_thresh=t, eleven_point=False)["map"]
+        for t in iou_thresholds
+    ]
+    out["coco_map"] = float(np.mean(per_t)) if per_t else 0.0
+    for t, v in zip(iou_thresholds, per_t):
+        if abs(t - 0.5) < 1e-9:
+            out["ap50"] = v
+        if abs(t - 0.75) < 1e-9:
+            out["ap75"] = v
+
+    for name, (lo, hi) in COCO_AREA_RANGES.items():
+        gt_bin = [g for g in ground_truth if lo <= _area(g[2]) < hi]
+        det_bin = [d for d in detections if lo <= _area(d[3]) < hi]
+        if not gt_bin:
+            out[f"ap_{name}"] = float("nan")
+            continue
+        vals = [
+            compute_map(det_bin, gt_bin, num_classes,
+                        iou_thresh=t, eleven_point=False)["map"]
+            for t in iou_thresholds
+        ]
+        out[f"ap_{name}"] = float(np.mean(vals))
+    return out
