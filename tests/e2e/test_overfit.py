@@ -188,3 +188,51 @@ def test_evaluate_model_map_floor(tmp_path):
         compute_dtype=jnp.float32,
     )
     assert metrics["map"] >= 0.5, metrics
+
+
+def test_evaluate_model_data_parallel_matches_single(tmp_path):
+    """DP eval (BASELINE configs 2/5: batch sharded over the device mesh,
+    params replicated, GSPMD) must produce the same detections/metrics as
+    the single-device path — including a short last batch that needs
+    padding to the mesh size."""
+    import cv2
+
+    from yolojax.data.cache import DatasetCache
+    from yolojax.eval.evaluator import evaluate_model
+
+    model, ts, batch, _ = _trained()
+    images, boxes, classes, valid = batch
+    n, dim = images.shape[0], images.shape[1]
+
+    paths, offs, all_boxes, all_cls = [], [0], [], []
+    for i in range(n):
+        p = str(tmp_path / f"{i:03d}.png")
+        cv2.imwrite(p, cv2.cvtColor(
+            (np.asarray(images[i]) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+        paths.append(p)
+        for g in np.where(np.asarray(valid[i]))[0]:
+            all_boxes.append(np.asarray(boxes[i, g]))
+            all_cls.append(int(classes[i, g]))
+        offs.append(len(all_boxes))
+    cache = DatasetCache(
+        paths=np.asarray(paths),
+        sizes=np.tile([[dim, dim]], (n, 1)),
+        offsets=np.asarray(offs, np.int64),
+        boxes=np.asarray(all_boxes, np.float32),
+        classes=np.asarray(all_cls, np.int32),
+        names=("red", "blue"),
+    )
+    # batch 3 over 8 images: batches of 3/3/2, every one needs mesh padding
+    kw = dict(input_dim=dim, batch_size=3, nms_iou=0.45, top_k=128,
+              compute_dtype=jnp.float32, coco=True)
+    dp = evaluate_model(model, ts.params, ts.bn_state, cache,
+                        data_parallel=True, **kw)
+    single = evaluate_model(model, ts.params, ts.bn_state, cache,
+                            data_parallel=False, **kw)
+    assert dp["num_detections"] == single["num_detections"]
+    for k in single:
+        a, b = dp[k], single[k]
+        if isinstance(a, float) and np.isnan(a):
+            assert np.isnan(b), k
+        else:
+            np.testing.assert_allclose(a, b, atol=1e-6, err_msg=k)

@@ -80,6 +80,7 @@ def evaluate_model(
     int8: bool = False,  # post-training int8 conv trunk (implies fold)
     max_detections: int = 0,  # cap kept detections per image (0 = no cap)
     coco: bool = False,  # add COCO-style AP@[.50:.95] + size bins
+    data_parallel: Optional[bool] = None,  # None = auto (all local devices)
 ) -> Dict[str, float]:
     """Run detection over a cached phase and return VOC AP metrics."""
     if fold or int8:
@@ -112,13 +113,42 @@ def evaluate_model(
                               iou_thresh=nms_iou, top_k=top_k,
                               use_pallas=use_pallas, candidates=candidates,
                               compute_dtype=compute_dtype)
+    # Data-parallel inference (BASELINE configs 2/5: batched eval on a
+    # v5e-8): shard the batch axis over a 1-D mesh of the process-local
+    # devices; params replicated; GSPMD runs each shard's forward+NMS on
+    # its own chip with no collectives (embarrassingly parallel).
+    mesh = None
+    n_local = len(jax.local_devices())
+    if int8 and data_parallel is None:
+        data_parallel = False  # quantized constants are placed unsharded
+    if data_parallel or (data_parallel is None and n_local > 1):
+        from yolojax.parallel.mesh import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(jax.local_devices(), data=n_local, model=1)
+        params = jax.device_put(params, replicated(mesh))
+        bn_state = jax.device_put(bn_state, replicated(mesh))
+        log.info("eval: data-parallel over %d local devices", n_local)
+
+    def place(images_np):
+        if mesh is None:
+            return jnp.asarray(images_np), images_np.shape[0]
+        n_actual = images_np.shape[0]
+        pad = (-n_actual) % mesh.shape["data"]
+        if pad:  # short last batch: pad to shardable, ignore the extras
+            images_np = np.concatenate(
+                [images_np, np.zeros((pad,) + images_np.shape[1:],
+                                     images_np.dtype)])
+        return jax.device_put(images_np, batch_sharding(mesh)), n_actual
+
     detections = []
     ground_truth = []
     img_id = 0
     for bi, (images, boxes, classes, valid) in enumerate(loader.epoch(0, shuffle=False)):
         if max_batches is not None and bi >= max_batches:
             break
-        out = jax.device_get(infer(params, bn_state, jnp.asarray(images)))
+        x, n_actual = place(np.asarray(images))
+        out = jax.device_get(infer(params, bn_state, x))
+        out = {k: v[:n_actual] for k, v in out.items()}
         for k in range(images.shape[0]):
             # GT (already in canvas coords; consistent with detections)
             for gi in range(boxes.shape[1]):
