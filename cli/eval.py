@@ -56,6 +56,7 @@ def main():
         max_detections=cfg.eval.max_detections,
         int8=cfg.detect.use_int8,
         coco=args.coco,
+        data_parallel=cfg.eval.data_parallel_flag(),
     )
     names = cfg.names()
     for c, name in enumerate(names):

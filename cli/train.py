@@ -216,6 +216,7 @@ def main():
                         fuse_stem_impl=cfg.detect.fuse_stem,
                         compute_dtype=compute_dtype,
                         max_detections=cfg.eval.max_detections,
+                        data_parallel=cfg.eval.data_parallel_flag(),
                     )
                     metrics_log.log(step_i + 1,
                                     {"map": em["map"]}, prefix="val_")

@@ -131,6 +131,16 @@ def test_05_eval(workspace, monkeypatch, capsys):
     assert rec["num_images"] == 8
     assert 0.0 <= rec["map"] <= 1.0
 
+    # the run above auto-data-parallels over the 8-device mesh; forcing it
+    # off through the INI knob must reproduce the same metrics exactly
+    _run("cli.eval", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--phase", "test", "eval.data_parallel=off",
+    ], monkeypatch)
+    rec_sd = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec_sd == rec
+
 
 def test_06_demo_augmentation(workspace, monkeypatch, capsys):
     out_png = str(workspace / "aug.png")

@@ -106,6 +106,15 @@ class EvalConfig:
     batch_size: int = 32
     map_iou: float = 0.5
     max_detections: int = 100
+    data_parallel: str = "auto"    # shard eval batches over local devices:
+                                   # auto (all local chips) | on | off
+
+    def data_parallel_flag(self):
+        """Map the INI string onto evaluate_model's tri-state arg."""
+        v = self.data_parallel.strip().lower()
+        if v in ("auto", ""):
+            return None
+        return v in ("1", "true", "yes", "on")
 
 
 @dataclasses.dataclass(frozen=True)
