@@ -46,10 +46,16 @@ def main():
     from yolojax.convert.store import load_params_npz
     from yolojax.data.cache import load_cache
     from yolojax.data.grain_loader import make_loader
-    from yolojax.parallel.mesh import make_mesh, replicated, shard_batch
+    from yolojax.parallel.mesh import (
+        make_mesh,
+        param_shardings,
+        replicated,
+        shard_batch,
+    )
     from yolojax.train.checkpoint import Checkpointer
     from yolojax.train.step import (
         MultiScaleSchedule,
+        TrainState,
         init_train_state,
         make_optimizer,
         make_train_step,
@@ -117,7 +123,28 @@ def main():
     start_step, ts = ckpt.restore_latest(ts)
     if start_step is not None:
         log.info("resumed from step %d", start_step)
-    ts = jax.device_put(ts, replicated(mesh))
+    # Placement: with mesh_model > 1 the fat conv channels are TP-sharded
+    # over the "model" axis (GSPMD inserts the all-gathers/reduce-scatters
+    # over ICI); bn/opt state and everything below the threshold replicate.
+    # With model=1 this degrades to pure replication.
+    ts = TrainState(
+        jax.device_put(ts.step, replicated(mesh)),
+        jax.tree_util.tree_map(
+            jax.device_put, ts.params, param_shardings(mesh, ts.params)
+        ),
+        jax.device_put(ts.bn_state, replicated(mesh)),
+        jax.device_put(ts.opt_state, replicated(mesh)),
+    )
+    if mesh.shape["model"] > 1:
+        # TP-sharded leaves are not process-addressable under multi-process:
+        # reshard to replicated through a jitted identity (XLA all-gather
+        # over ICI/DCN) before pulling to host for checkpoints/eval.
+        _gather = jax.jit(lambda t: t, out_shardings=replicated(mesh))
+
+        def host_state(t):
+            return jax.device_get(_gather(t))
+    else:
+        host_state = jax.device_get
 
     compute_dtype = jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
     step_fn = make_train_step(
@@ -186,7 +213,7 @@ def main():
             if is_primary and tcfg.histogram_steps and (
                 (step_i + 1) % tcfg.histogram_steps == 0
             ):
-                metrics_log.log_histograms(step_i + 1, ts.params)
+                metrics_log.log_histograms(step_i + 1, host_state(ts.params))
             # In-training eval runs on the PRIMARY process only, through a
             # process-local jit (no mesh/collectives inside, so the other
             # processes are free to keep dispatching train steps). Params
@@ -203,7 +230,7 @@ def main():
                 if val_cache is not None:
                     from yolojax.eval.evaluator import evaluate_model
 
-                    host_ts = jax.device_get(ts)
+                    host_ts = host_state(ts)
                     em = evaluate_model(
                         model, host_ts.params, host_ts.bn_state, val_cache,
                         input_dim=cfg.model.dim,
@@ -235,13 +262,13 @@ def main():
             # actually write: a per-step device_get of params+opt state is a
             # sync barrier and hundreds of MB of dead transfer otherwise.
             if ckpt.should_save(step_i + 1):
-                ckpt.save(step_i + 1, jax.device_get(ts))
+                ckpt.save(step_i + 1, host_state(ts))
     except KeyboardInterrupt:  # save before exiting (same restart contract)
         interrupted = True
         log.warning("interrupted at step %d; checkpointing", int(ts.step))
     final = int(jax.device_get(ts.step))
     if ckpt.latest_step() != final:
-        ckpt.save(final, jax.device_get(ts), force=True)
+        ckpt.save(final, host_state(ts), force=True)
     ckpt.wait()
     if interrupted:
         raise SystemExit(130)

@@ -365,3 +365,34 @@ def test_17_train_with_grain_loader(workspace, monkeypatch, tmp_path):
     metrics = [json.loads(l)
                for l in open(tmp_path / "grainlog" / "yolo2_tiny" / "metrics.jsonl")]
     assert len(metrics) == 2 and np.isfinite(metrics[-1]["total"])
+
+
+def test_18_train_tensor_parallel_cli(workspace, monkeypatch, tmp_path):
+    """train.mesh_model=2: the 1024-channel tiny-v2 convs are TP-sharded
+    over the "model" axis at the CLI surface (4x2 mesh), the checkpoint
+    round-trips through the replicated gather, and a resumed run picks up
+    TP-sharded from the saved state."""
+    _ensure_prereqs(workspace, monkeypatch)
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/tplog",
+        "train.steps=2", "train.save_steps=2",
+        "train.mesh_model=2", "train.histogram_steps=2",
+    ], monkeypatch)
+    logdir = tmp_path / "tplog" / "yolo2_tiny"
+    metrics = [json.loads(l) for l in open(logdir / "metrics.jsonl")]
+    scalar = [m for m in metrics if "total" in m]
+    assert len(scalar) == 2 and np.isfinite(scalar[-1]["total"])
+    # histograms of the TP-sharded params go through the replicated gather
+    assert any(any(k.startswith("hist/") for k in m) for m in metrics)
+    assert (logdir / "ckpt").is_dir()
+    # resume with the same TP mesh
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/tplog",
+        "train.steps=3", "train.save_steps=2",
+        "train.mesh_model=2",
+    ], monkeypatch)
+    metrics = [json.loads(l) for l in open(logdir / "metrics.jsonl")]
+    steps = [m["step"] for m in metrics]
+    assert max(steps) == 3 and steps.count(3) == 1
