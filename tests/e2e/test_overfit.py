@@ -236,3 +236,12 @@ def test_evaluate_model_data_parallel_matches_single(tmp_path):
             assert np.isnan(b), k
         else:
             np.testing.assert_allclose(a, b, atol=1e-6, err_msg=k)
+
+    # explicit data_parallel=on with int8 replicates the quantized
+    # constants over the mesh; must match the single-device int8 eval
+    dp8 = evaluate_model(model, ts.params, ts.bn_state, cache,
+                         data_parallel=True, int8=True, **kw)
+    s8 = evaluate_model(model, ts.params, ts.bn_state, cache,
+                        data_parallel=False, int8=True, **kw)
+    assert dp8["num_detections"] == s8["num_detections"]
+    np.testing.assert_allclose(dp8["map"], s8["map"], atol=1e-6)

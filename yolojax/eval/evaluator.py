@@ -98,12 +98,35 @@ def evaluate_model(
                      max_boxes=64, stretch=stretch, drop_remainder=False,
                      num_threads=8),
     )
+    # Data-parallel inference (BASELINE configs 2/5: batched eval on a
+    # v5e-8): shard the batch axis over a 1-D mesh of the process-local
+    # devices; params replicated; GSPMD runs each shard's forward+NMS on
+    # its own chip with no collectives (embarrassingly parallel).
+    # int8 stays single-device on auto (quantized serving is usually
+    # latency-oriented), but an explicit data_parallel=True replicates the
+    # quantized constants over the mesh and shards like the bf16 path.
+    mesh = None
+    n_local = len(jax.local_devices())
+    if int8 and data_parallel is None:
+        data_parallel = False
+    if data_parallel or (data_parallel is None and n_local > 1):
+        from yolojax.parallel.mesh import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(jax.local_devices(), data=n_local, model=1)
+        params = jax.device_put(params, replicated(mesh))
+        bn_state = jax.device_put(bn_state, replicated(mesh))
+        log.info("eval: data-parallel over %d local devices", n_local)
     if int8:
+        import dataclasses as _dc
+
         from yolojax.quantize.ptq import quantize_model
 
         calib_imgs, _, _, _ = next(loader.epoch(0, shuffle=False))
         qm = quantize_model(model, jax.device_get(params),
                             jnp.asarray(calib_imgs[:8]))
+        if mesh is not None:
+            qm = _dc.replace(
+                qm, qparams=jax.device_put(qm.qparams, replicated(mesh)))
         infer = make_infer_fn(model, score_thresh=score_thresh,
                               iou_thresh=nms_iou, top_k=top_k,
                               use_pallas=use_pallas, candidates=candidates,
@@ -113,21 +136,6 @@ def evaluate_model(
                               iou_thresh=nms_iou, top_k=top_k,
                               use_pallas=use_pallas, candidates=candidates,
                               compute_dtype=compute_dtype)
-    # Data-parallel inference (BASELINE configs 2/5: batched eval on a
-    # v5e-8): shard the batch axis over a 1-D mesh of the process-local
-    # devices; params replicated; GSPMD runs each shard's forward+NMS on
-    # its own chip with no collectives (embarrassingly parallel).
-    mesh = None
-    n_local = len(jax.local_devices())
-    if int8 and data_parallel is None:
-        data_parallel = False  # quantized constants are placed unsharded
-    if data_parallel or (data_parallel is None and n_local > 1):
-        from yolojax.parallel.mesh import batch_sharding, make_mesh, replicated
-
-        mesh = make_mesh(jax.local_devices(), data=n_local, model=1)
-        params = jax.device_put(params, replicated(mesh))
-        bn_state = jax.device_put(bn_state, replicated(mesh))
-        log.info("eval: data-parallel over %d local devices", n_local)
 
     def place(images_np):
         if mesh is None:
