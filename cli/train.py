@@ -176,6 +176,14 @@ def main():
     batch_iter = batches()
     step0 = int(ts.step)
     log.info("training from step %d to %d", step0, tcfg.steps)
+    profile_server = False
+    if tcfg.profile_port:
+        # live on-demand profiling of a running job (SURVEY.md §5 tracing):
+        # point TensorBoard's profile tab / `jax.profiler.trace_remote` at
+        # this port to capture device traces without restarting training
+        jax.profiler.start_server(tcfg.profile_port)
+        profile_server = True
+        log.info("jax.profiler server listening on port %d", tcfg.profile_port)
     interrupted = False
     try:
       with mesh:
@@ -266,6 +274,9 @@ def main():
     except KeyboardInterrupt:  # save before exiting (same restart contract)
         interrupted = True
         log.warning("interrupted at step %d; checkpointing", int(ts.step))
+    finally:
+        if profile_server:
+            jax.profiler.stop_server()
     final = int(jax.device_get(ts.step))
     if ckpt.latest_step() != final:
         ckpt.save(final, host_state(ts), force=True)

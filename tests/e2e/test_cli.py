@@ -396,3 +396,50 @@ def test_18_train_tensor_parallel_cli(workspace, monkeypatch, tmp_path):
     metrics = [json.loads(l) for l in open(logdir / "metrics.jsonl")]
     steps = [m["step"] for m in metrics]
     assert max(steps) == 3 and steps.count(3) == 1
+
+
+def test_19_summary_section_dialect(tmp_path):
+    """[summary] (reference dialect) aliases onto the train summary knobs;
+    explicit [train] keys and CLI overrides win."""
+    from yolojax.config import load_config
+
+    ini = tmp_path / "s.ini"
+    ini.write_text("""
+[summary]
+scalar = 7
+histogram = 50
+image = 25
+""")
+    cfg = load_config([str(ini)])
+    assert cfg.train.summary_steps == 7
+    assert cfg.train.histogram_steps == 50
+    assert cfg.train.image_summary_steps == 25
+    # CLI override through the alias beats the file section
+    cfg = load_config([str(ini)], overrides=["summary.scalar=3"])
+    assert cfg.train.summary_steps == 3
+    # explicit [train] key beats [summary]
+    ini2 = tmp_path / "s2.ini"
+    ini2.write_text("[train]\nsummary_steps = 11\n[summary]\nscalar = 7\n")
+    cfg = load_config([str(ini2)])
+    assert cfg.train.summary_steps == 11
+
+
+def test_20_profiler_server_flag(workspace, monkeypatch, tmp_path):
+    """train.profile_port serves live jax.profiler captures for the run's
+    duration and shuts down cleanly (no port/thread leak across runs)."""
+    import socket
+
+    _ensure_prereqs(workspace, monkeypatch)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    for _ in range(2):  # second run re-binds the same port: stop worked
+        _run("cli.train", [
+            "-c", str(workspace / "test.ini"),
+            f"train.logdir={tmp_path}/proflog",
+            "train.steps=2", f"train.profile_port={port}",
+        ], monkeypatch)
+    metrics = [json.loads(l)
+               for l in open(tmp_path / "proflog" / "yolo2_tiny" / "metrics.jsonl")]
+    assert np.isfinite(metrics[-1]["total"])

@@ -79,6 +79,7 @@ class TrainConfig:
     remat: bool = False            # jax.checkpoint the forward (memory vs FLOPs)
     tensorboard: bool = False
     profile_steps: int = 0         # capture a jax.profiler trace at step N
+    profile_port: int = 0          # serve live jax.profiler captures (0 off)
     debug_nans: bool = False
     # mesh
     mesh_data: int = 0             # 0 -> all devices
@@ -210,6 +211,19 @@ _SECTION_FIELD = {
 # reference put optimizer keys in [train]; accept them there too
 _TRAIN_OPTIMIZER_KEYS = {f.name for f in dataclasses.fields(OptimizerConfig)}
 
+# [summary] section (reference dialect: summary emission gated by config)
+# aliases onto the train-section knobs; explicit [train] keys win
+_SUMMARY_KEYS = {
+    "scalar": "summary_steps",
+    "scalar_steps": "summary_steps",
+    "summary_steps": "summary_steps",
+    "histogram": "histogram_steps",
+    "histogram_steps": "histogram_steps",
+    "image": "image_summary_steps",
+    "image_steps": "image_summary_steps",
+    "image_summary_steps": "image_summary_steps",
+}
+
 
 def _coerce(field: dataclasses.Field, raw: str):
     t = field.type
@@ -248,9 +262,24 @@ def load_config(
             raise ValueError(
                 f"malformed override {ov!r}; expected section.key=value"
             )
+        if section == "summary" and name in _SUMMARY_KEYS:
+            section, name = "train", _SUMMARY_KEYS[name]
         if not parser.has_section(section):
             parser.add_section(section)
         parser.set(section, name, value.strip())
+
+    # fold the [summary] alias section into [train] (see _SUMMARY_KEYS)
+    if parser.has_section("summary"):
+        for name, raw in parser.items("summary"):
+            tgt = _SUMMARY_KEYS.get(name)
+            if tgt is None:
+                log.warning("unknown key summary.%s ignored", name)
+                continue
+            if not parser.has_section("train"):
+                parser.add_section("train")
+            if not parser.has_option("train", tgt):
+                parser.set("train", tgt, raw)
+        parser.remove_section("summary")
 
     kwargs: Dict[str, object] = {}
     opt_kwargs: Dict[str, object] = {}

@@ -69,6 +69,7 @@ class StepTimer:
         self.warmup = warmup
         self.count = 0
         self.total = 0.0
+        self.last = float("nan")  # nan until a step runs (0-step resumes)
         self._t0 = None
 
     def __enter__(self):
