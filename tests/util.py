@@ -46,3 +46,46 @@ def write_synthetic_voc(root, n_images=6, size=(96, 64), seed=0,
                                image_set + ".txt"), "w") as f:
             f.write("\n".join(ids) + "\n")
     return ids
+
+
+def write_synthetic_coco(root, n_images=6, size=(96, 64), seed=0,
+                         names=("red", "green", "blue")):
+    """Write a minimal COCO layout: images/ + instances.json. Returns
+    (ann_json_path, image_dir)."""
+    import json
+
+    import cv2
+
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    w, h = size
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n_images):
+        fname = f"{i:06d}.jpg"
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        cv2.imwrite(os.path.join(img_dir, fname), img)
+        images.append({"id": i + 1, "file_name": fname,
+                       "width": w, "height": h})
+        for _ in range(rng.randint(1, 3)):
+            bw, bh = rng.randint(12, 32), rng.randint(12, 32)
+            x0 = rng.randint(0, w - bw)
+            y0 = rng.randint(0, h - bh)
+            annotations.append({
+                "id": ann_id, "image_id": i + 1,
+                "category_id": 10 + rng.randint(len(names)),
+                "bbox": [int(x0), int(y0), int(bw), int(bh)],
+                "iscrowd": 0,
+            })
+            ann_id += 1
+    ann = {
+        "images": images,
+        "categories": [{"id": 10 + k, "name": n}
+                       for k, n in enumerate(names)],
+        "annotations": annotations,
+    }
+    ann_path = os.path.join(root, "instances.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    return ann_path, img_dir
