@@ -71,7 +71,7 @@ def test_sigkill_then_restart_resumes(tmp_path):
     try:
         # wait until a few steps have been taken (and checkpointed), then
         # SIGKILL: no SIGINT handler, no orbax finalization, a real crash
-        deadline = time.time() + 300
+        deadline = time.time() + 900
         killed_after = 0
         while time.time() < deadline:
             if proc.poll() is not None:
@@ -84,7 +84,7 @@ def test_sigkill_then_restart_resumes(tmp_path):
                     break
             time.sleep(0.5)
         else:
-            raise AssertionError("train never reached step 3 in 300s")
+            raise AssertionError("train never reached step 3 in 900s")
         proc.wait(timeout=60)
     finally:
         if proc.poll() is None:
@@ -94,7 +94,7 @@ def test_sigkill_then_restart_resumes(tmp_path):
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "cli", "train.py"), "-c", str(ini),
          f"train.steps={killed_after + 2}"],
-        cwd=REPO, env=_env(), capture_output=True, text=True, timeout=600,
+        cwd=REPO, env=_env(), capture_output=True, text=True, timeout=900,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "resumed from step" in out.stderr
