@@ -30,6 +30,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from yolojax.parallel.distributed import maybe_initialize
+
+    multi_process = maybe_initialize(
+        cfg.train.coordinator, cfg.train.num_processes, cfg.train.process_id
+    )
+
     from yolojax.data.cache import load_cache
     from yolojax.eval.evaluator import evaluate_model
     from yolojax.utils.restore import load_weights
@@ -57,7 +63,10 @@ def main():
         int8=cfg.detect.use_int8,
         coco=args.coco,
         data_parallel=cfg.eval.data_parallel_flag(),
+        distributed=cfg.eval.distributed and multi_process,
     )
+    if multi_process and jax.process_index() != 0:
+        return  # metrics are identical on every process; primary prints
     names = cfg.names()
     for c, name in enumerate(names):
         if f"ap_{c}" in metrics:

@@ -222,12 +222,17 @@ def main():
                 (step_i + 1) % tcfg.histogram_steps == 0
             ):
                 metrics_log.log_histograms(step_i + 1, host_state(ts.params))
-            # In-training eval runs on the PRIMARY process only, through a
-            # process-local jit (no mesh/collectives inside, so the other
-            # processes are free to keep dispatching train steps). Params
-            # are replicated, hence host-addressable from any process.
+            # In-training eval. Default: PRIMARY process only, through a
+            # process-local jit (no cross-host collectives, so the other
+            # processes keep dispatching train steps; params are replicated,
+            # hence host-addressable from any process). With
+            # eval.distributed=1, EVERY process evals its disjoint cache
+            # shard on its local chips and the detections are allgathered
+            # over DCN (the processes are in lockstep here anyway — they
+            # would otherwise idle at the next step's collective).
+            eval_dist = cfg.eval.distributed and multi_process
             if (
-                is_primary
+                (is_primary or eval_dist)
                 and tcfg.eval_steps
                 and (step_i + 1) % tcfg.eval_steps == 0
             ):
@@ -252,11 +257,13 @@ def main():
                         compute_dtype=compute_dtype,
                         max_detections=cfg.eval.max_detections,
                         data_parallel=cfg.eval.data_parallel_flag(),
+                        distributed=eval_dist,
                     )
-                    metrics_log.log(step_i + 1,
-                                    {"map": em["map"]}, prefix="val_")
-                    log.info("step %d val mAP@%.2f: %.4f", step_i + 1,
-                             cfg.eval.map_iou, em["map"])
+                    if is_primary:
+                        metrics_log.log(step_i + 1,
+                                        {"map": em["map"]}, prefix="val_")
+                        log.info("step %d val mAP@%.2f: %.4f", step_i + 1,
+                                 cfg.eval.map_iou, em["map"])
             # Image summary from the process-local host copy of the batch
             # (works under multi-process too: no device_get of global arrays).
             if is_primary and tcfg.image_summary_steps and (

@@ -109,6 +109,8 @@ class EvalConfig:
     max_detections: int = 100
     data_parallel: str = "auto"    # shard eval batches over local devices:
                                    # auto (all local chips) | on | off
+    distributed: bool = False      # multi-host eval: shard the cache per
+                                   # process, allgather detections over DCN
 
     def data_parallel_flag(self):
         """Map the INI string onto evaluate_model's tri-state arg."""

@@ -58,6 +58,52 @@ def make_infer_fn(model: Model, *, score_thresh: float, iou_thresh: float,
     return infer
 
 
+def _allgather_shards(detections, ground_truth, num_images, n_proc):
+    """Gather per-process eval shards over DCN into global lists.
+
+    Detections/GT are packed into fixed-width f32 rows, zero-padded to the
+    global max row count (shapes must match across processes), and
+    allgathered via jax; local image ids are remapped to globally-unique
+    ids (gid = local * n_proc + rank — the strided shard analogue)."""
+    from jax.experimental import multihost_utils as mhu
+
+    rank = jax.process_index()
+
+    def pack(rows, width):
+        if rows:
+            arr = np.stack([np.concatenate([[float(r[0]) * n_proc + rank],
+                                            np.asarray(r[1:-1], np.float32),
+                                            np.asarray(r[-1], np.float32)])
+                            for r in rows]).astype(np.float32)
+        else:
+            arr = np.zeros((0, width), np.float32)
+        return arr
+
+    det = pack(detections, 7)    # gid, cls, score, box[4]
+    gt = pack(ground_truth, 6)   # gid, cls, box[4]
+    counts = mhu.process_allgather(
+        np.asarray([det.shape[0], gt.shape[0], num_images], np.int64))
+    cap_d, cap_g = int(counts[:, 0].max()), int(counts[:, 1].max())
+
+    def gather(arr, cap, width):
+        # cap is a global max, so every process takes the same branch and
+        # the collective call pattern stays consistent
+        pad = np.zeros((cap - arr.shape[0], width), np.float32)
+        return mhu.process_allgather(np.concatenate([arr, pad]))
+
+    all_det = gather(det, cap_d, 7) if cap_d else None
+    all_gt = gather(gt, cap_g, 6) if cap_g else None
+    detections = [
+        (int(r[0]), int(r[1]), float(r[2]), r[3:7])
+        for p in range(n_proc) for r in all_det[p, : int(counts[p, 0])]
+    ] if cap_d else []
+    ground_truth = [
+        (int(r[0]), int(r[1]), r[2:6])
+        for p in range(n_proc) for r in all_gt[p, : int(counts[p, 1])]
+    ] if cap_g else []
+    return detections, ground_truth, int(counts[:, 2].sum())
+
+
 def evaluate_model(
     model: Model,
     params,
@@ -81,8 +127,19 @@ def evaluate_model(
     max_detections: int = 0,  # cap kept detections per image (0 = no cap)
     coco: bool = False,  # add COCO-style AP@[.50:.95] + size bins
     data_parallel: Optional[bool] = None,  # None = auto (all local devices)
+    distributed: bool = False,  # multi-host: shard the cache per process
 ) -> Dict[str, float]:
-    """Run detection over a cached phase and return VOC AP metrics."""
+    """Run detection over a cached phase and return VOC AP metrics.
+
+    ``distributed=True`` under an initialized multi-process runtime gives
+    fully distributed eval (BASELINE config 5): every process runs its
+    disjoint cache shard on its own local chips (strided split, tail
+    dropped to keep shards equal), the per-shard detections/ground truth
+    are allgathered over DCN, and every process computes (identical)
+    global metrics. ALL processes must enter this call together.
+    """
+    n_proc = jax.process_count()
+    distributed = distributed and n_proc > 1
     if fold or int8:
         from yolojax.convert.fold import fold_bn
 
@@ -96,7 +153,9 @@ def evaluate_model(
         cache,
         LoaderConfig(batch_size=batch_size, canvas_dim=input_dim,
                      max_boxes=64, stretch=stretch, drop_remainder=False,
-                     num_threads=8),
+                     num_threads=8,
+                     shard_index=jax.process_index() if distributed else 0,
+                     shard_count=n_proc if distributed else 1),
     )
     # Data-parallel inference (BASELINE configs 2/5: batched eval on a
     # v5e-8): shard the batch axis over a 1-D mesh of the process-local
@@ -175,8 +234,12 @@ def evaluate_model(
                     (img_id, int(out["classes"][k, d]),
                      float(out["scores"][k, d]), out["boxes"][k, d]))
             img_id += 1
-    log.info("eval: %d images, %d detections, %d gt boxes",
-             img_id, len(detections), len(ground_truth))
+    log.info("eval: %d images, %d detections, %d gt boxes%s",
+             img_id, len(detections), len(ground_truth),
+             f" (shard {jax.process_index()}/{n_proc})" if distributed else "")
+    if distributed:
+        detections, ground_truth, img_id = _allgather_shards(
+            detections, ground_truth, img_id, n_proc)
     metrics = compute_map(detections, ground_truth, model.num_classes,
                           iou_thresh=map_iou)
     if coco:
