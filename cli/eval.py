@@ -41,6 +41,9 @@ def main():
     from yolojax.utils.restore import load_weights
 
     model = cfg.build_model()
+    eval_dist = cfg.eval.distributed and multi_process
+    if multi_process and not eval_dist and jax.process_index() != 0:
+        return  # non-distributed eval has no collectives; primary-only
     params, bn_state = load_weights(args.weights, model, cfg.model.dim)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
@@ -63,10 +66,10 @@ def main():
         int8=cfg.detect.use_int8,
         coco=args.coco,
         data_parallel=cfg.eval.data_parallel_flag(),
-        distributed=cfg.eval.distributed and multi_process,
+        distributed=eval_dist,
     )
     if multi_process and jax.process_index() != 0:
-        return  # metrics are identical on every process; primary prints
+        return  # distributed metrics are identical everywhere; primary prints
     names = cfg.names()
     for c, name in enumerate(names):
         if f"ap_{c}" in metrics:

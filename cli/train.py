@@ -139,12 +139,18 @@ def main():
         # TP-sharded leaves are not process-addressable under multi-process:
         # reshard to replicated through a jitted identity (XLA all-gather
         # over ICI/DCN) before pulling to host for checkpoints/eval.
+        # CAUTION: under multi-process this is a COLLECTIVE — every call
+        # site must be entered by ALL processes together (see gather_all
+        # below), never from a primary-only branch, or the job deadlocks.
         _gather = jax.jit(lambda t: t, out_shardings=replicated(mesh))
 
         def host_state(t):
             return jax.device_get(_gather(t))
     else:
         host_state = jax.device_get
+    # primary-only summary branches must still enter host_state on every
+    # process when it is a collective (multi-process tensor parallelism)
+    gather_all = multi_process and mesh.shape["model"] > 1
 
     compute_dtype = jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
     step_fn = make_train_step(
@@ -218,10 +224,12 @@ def main():
                     m_host["coord"], m_host["object"], m_host["noobject"],
                     m_host["class"], imgs_per_sec,
                 )
-            if is_primary and tcfg.histogram_steps and (
+            if (is_primary or gather_all) and tcfg.histogram_steps and (
                 (step_i + 1) % tcfg.histogram_steps == 0
             ):
-                metrics_log.log_histograms(step_i + 1, host_state(ts.params))
+                host_params = host_state(ts.params)
+                if is_primary:
+                    metrics_log.log_histograms(step_i + 1, host_params)
             # In-training eval. Default: PRIMARY process only, through a
             # process-local jit (no cross-host collectives, so the other
             # processes keep dispatching train steps; params are replicated,
@@ -232,7 +240,7 @@ def main():
             # would otherwise idle at the next step's collective).
             eval_dist = cfg.eval.distributed and multi_process
             if (
-                (is_primary or eval_dist)
+                (is_primary or eval_dist or gather_all)
                 and tcfg.eval_steps
                 and (step_i + 1) % tcfg.eval_steps == 0
             ):
@@ -244,6 +252,7 @@ def main():
                     from yolojax.eval.evaluator import evaluate_model
 
                     host_ts = host_state(ts)
+                if val_cache is not None and (is_primary or eval_dist):
                     em = evaluate_model(
                         model, host_ts.params, host_ts.bn_state, val_cache,
                         input_dim=cfg.model.dim,

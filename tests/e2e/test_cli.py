@@ -8,7 +8,7 @@ import sys
 import numpy as np
 import pytest
 
-from tests.util import write_synthetic_voc
+from tests.util import run_cli, write_synthetic_voc
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -59,12 +59,7 @@ batch_size = 4
     return ws
 
 
-def _run(module, argv, monkeypatch):
-    import importlib
-
-    mod = importlib.import_module(module)
-    monkeypatch.setattr(sys, "argv", [module] + argv)
-    mod.main()
+_run = run_cli
 
 
 
@@ -139,7 +134,10 @@ def test_05_eval(workspace, monkeypatch, capsys):
         "--phase", "test", "eval.data_parallel=off",
     ], monkeypatch)
     rec_sd = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert rec_sd == rec
+    assert set(rec_sd) == set(rec)
+    assert rec_sd["num_detections"] == rec["num_detections"]
+    for k in rec:  # per-shard programs may differ at ULP level
+        np.testing.assert_allclose(rec_sd[k], rec[k], atol=1e-6, err_msg=k)
 
 
 def test_06_demo_augmentation(workspace, monkeypatch, capsys):

@@ -10,17 +10,12 @@ import sys
 import numpy as np
 import pytest
 
-from tests.util import write_synthetic_coco
+from tests.util import run_cli, write_synthetic_coco
 
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _run(module, argv, monkeypatch):
-    import importlib
-
-    mod = importlib.import_module(module)
-    monkeypatch.setattr(sys, "argv", [module] + argv)
-    mod.main()
+_run = run_cli
 
 
 @pytest.fixture(scope="module")

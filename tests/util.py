@@ -89,3 +89,13 @@ def write_synthetic_coco(root, n_images=6, size=(96, 64), seed=0,
     with open(ann_path, "w") as f:
         json.dump(ann, f)
     return ann_path, img_dir
+
+
+def run_cli(module, argv, monkeypatch):
+    """Drive a CLI module in-process: import cli.<name>, patch argv, main()."""
+    import importlib
+    import sys
+
+    mod = importlib.import_module(module)
+    monkeypatch.setattr(sys, "argv", [module] + argv)
+    mod.main()

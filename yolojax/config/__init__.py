@@ -117,7 +117,14 @@ class EvalConfig:
         v = self.data_parallel.strip().lower()
         if v in ("auto", ""):
             return None
-        return v in ("1", "true", "yes", "on")
+        if v in ("1", "true", "yes", "on"):
+            return True
+        if v in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(
+            f"eval.data_parallel = {self.data_parallel!r}: expected "
+            "auto, on, or off"
+        )
 
 
 @dataclasses.dataclass(frozen=True)

@@ -133,10 +133,11 @@ def evaluate_model(
 
     ``distributed=True`` under an initialized multi-process runtime gives
     fully distributed eval (BASELINE config 5): every process runs its
-    disjoint cache shard on its own local chips (strided split, tail
-    dropped to keep shards equal), the per-shard detections/ground truth
-    are allgathered over DCN, and every process computes (identical)
-    global metrics. ALL processes must enter this call together.
+    disjoint cache shard on its own local chips (strided split — every
+    image is evaluated; shard sizes differ by at most one), the per-shard
+    detections/ground truth are allgathered over DCN, and every process
+    computes (identical) global metrics. ALL processes must enter this
+    call together.
     """
     n_proc = jax.process_count()
     distributed = distributed and n_proc > 1
