@@ -106,7 +106,7 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
                 y1 = (y1 - py) / sy * raw.shape[0]
                 cls = int(out["classes"][k, d])
                 score = float(out["scores"][k, d])
-                dets.append((names[cls], score, (x0, y0, x1, y1)))
+                dets.append((names[cls], cls, score, (x0, y0, x1, y1)))
                 print(f"{os.path.basename(image_path)}: {names[cls]} "
                       f"{score:.3f} [{x0:.0f}, {y0:.0f}, {x1:.0f}, {y1:.0f}]")
             log.info("%s: %d detections (batch of %d in %.1f ms)",
@@ -115,13 +115,12 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
 
     for image_path, raw, dets in results:
         if out_path or show:
+            from yolojax.utils.draw import draw_detection
+
             img = cv2.cvtColor(raw.copy(), cv2.COLOR_RGB2BGR)
-            for name, score, (x0, y0, x1, y1) in dets:
-                cv2.rectangle(img, (int(x0), int(y0)), (int(x1), int(y1)),
-                              (0, 255, 0), 2)
-                cv2.putText(img, f"{name} {score:.2f}",
-                            (int(x0), max(int(y0) - 4, 10)),
-                            cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+            for name, cls, score, (x0, y0, x1, y1) in dets:
+                draw_detection(img, int(x0), int(y0), int(x1), int(y1),
+                               f"{name} {score:.2f}", cls)
             if out_path:
                 dst = out_path if len(image_paths) == 1 else os.path.join(
                     out_path, os.path.basename(image_path))

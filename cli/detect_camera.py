@@ -37,6 +37,7 @@ def main():
 
     from yolojax.data.augment import letterbox_host
     from yolojax.eval.evaluator import make_infer_fn
+    from yolojax.utils.draw import draw_detection
     from yolojax.utils.restore import load_weights
 
     model = cfg.build_model()
@@ -87,10 +88,8 @@ def main():
                 y1 = int((y1 - py) / sy * h)
                 cls = int(out["classes"][0, d])
                 score = float(out["scores"][0, d])
-                cv2.rectangle(frame, (x0, y0), (x1, y1), (0, 255, 0), 2)
-                cv2.putText(frame, f"{names[cls]} {score:.2f}",
-                            (x0, max(y0 - 4, 10)), cv2.FONT_HERSHEY_SIMPLEX,
-                            0.5, (0, 255, 0), 1)
+                draw_detection(frame, x0, y0, x1, y1,
+                               f"{names[cls]} {score:.2f}", cls)
             frames += 1
             fps = frames / (time.perf_counter() - t0)
             cv2.putText(frame, f"{fps:.1f} fps", (8, 20),
