@@ -245,3 +245,25 @@ def test_evaluate_model_data_parallel_matches_single(tmp_path):
                         data_parallel=False, int8=True, **kw)
     assert dp8["num_detections"] == s8["num_detections"]
     np.testing.assert_allclose(dp8["map"], s8["map"], atol=1e-6)
+
+
+def test_allgather_shards_roundtrip_single_process():
+    """Pack/unpack math of the distributed-eval gather: with one process,
+    rows must roundtrip exactly (gid remap degenerates to identity)."""
+    from yolojax.eval.evaluator import _allgather_shards
+
+    dets = [(0, 3, 0.9, np.asarray([0.1, 0.2, 0.3, 0.4], np.float32)),
+            (2, 1, 0.5, np.asarray([0.0, 0.0, 1.0, 1.0], np.float32))]
+    gts = [(1, 2, np.asarray([0.2, 0.2, 0.8, 0.8], np.float32))]
+    d2, g2, n = _allgather_shards(dets, gts, 3, 1)
+    assert n == 3
+    assert [(a, b) for a, b, _, _ in d2] == [(0, 3), (2, 1)]
+    np.testing.assert_allclose([c for _, _, c, _ in d2], [0.9, 0.5],
+                               rtol=1e-6)  # f32 row packing
+    np.testing.assert_allclose(d2[0][3], dets[0][3])
+    np.testing.assert_allclose(d2[1][3], dets[1][3])
+    assert g2[0][0] == 1 and g2[0][1] == 2
+    np.testing.assert_allclose(g2[0][2], gts[0][2])
+    # empty shards: no detections at all must not crash the collectives
+    d3, g3, n3 = _allgather_shards([], [], 0, 1)
+    assert d3 == [] and g3 == [] and n3 == 0
