@@ -96,7 +96,10 @@ class GrainLoader:
             log.info("grain loader: %d worker processes", self._worker_count)
 
     def __len__(self) -> int:
-        n = len(self.cache) // self.cfg.shard_count
+        n = len(self.cache)
+        if self.cfg.shard_count > 1:
+            # exact per-shard size (shards differ by at most one image)
+            n = len(range(self.cfg.shard_index, n, self.cfg.shard_count))
         b = self.cfg.batch_size
         return n // b if self.cfg.drop_remainder else (n + b - 1) // b
 
