@@ -29,6 +29,7 @@ def main():
     import numpy as np
 
     from yolojax.data.augment import augment_batch
+    from yolojax.utils.draw import draw_detection
     from yolojax.data.cache import load_cache
     from yolojax.data.loader import Loader, LoaderConfig
 
@@ -61,10 +62,8 @@ def main():
                 cx, cy, w, h = bxs[k, gi]
                 x0, y0 = int((cx - w / 2) * dim), int((cy - h / 2) * dim)
                 x1, y1 = int((cx + w / 2) * dim), int((cy + h / 2) * dim)
-                cv2.rectangle(img, (x0, y0), (x1, y1), (0, 255, 0), 2)
-                cv2.putText(img, names[int(classes[k, gi])],
-                            (x0, max(y0 - 4, 10)),
-                            cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+                cls = int(classes[k, gi])
+                draw_detection(img, x0, y0, x1, y1, names[cls], cls, rgb=True)
             grid[r * cell:(r + 1) * cell, c * cell:(c + 1) * cell] = img
             k += 1
     cv2.imwrite(args.out, cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))

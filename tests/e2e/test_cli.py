@@ -141,6 +141,7 @@ def test_05_eval(workspace, monkeypatch, capsys):
 
 
 def test_06_demo_augmentation(workspace, monkeypatch, capsys):
+    _ensure_prereqs(workspace, monkeypatch)
     out_png = str(workspace / "aug.png")
     _run("cli.demo_data_augmentation", [
         "-c", str(workspace / "test.ini"), "--out", out_png,

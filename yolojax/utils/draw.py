@@ -21,11 +21,14 @@ def class_color(idx: int) -> Tuple[int, int, int]:
 
 
 def draw_detection(img, x0: int, y0: int, x1: int, y1: int,
-                   label: str, cls: int, *, thickness: int = 2) -> None:
-    """Draw one labeled box in-place on a BGR uint8 image."""
+                   label: str, cls: int, *, thickness: int = 2,
+                   rgb: bool = False) -> None:
+    """Draw one labeled box in-place on a uint8 image (BGR unless rgb=)."""
     import cv2
 
     color = class_color(cls)
+    if rgb:
+        color = color[::-1]
     cv2.rectangle(img, (x0, y0), (x1, y1), color, thickness)
     cv2.putText(img, label, (x0, max(y0 - 4, 10)),
                 cv2.FONT_HERSHEY_SIMPLEX, 0.5, color, 1)
