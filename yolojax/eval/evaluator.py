@@ -217,24 +217,27 @@ def evaluate_model(
         x, n_actual = place(np.asarray(images))
         out = jax.device_get(infer(params, bn_state, x))
         out = {k: v[:n_actual] for k, v in out.items()}
-        for k in range(images.shape[0]):
-            # GT (already in canvas coords; consistent with detections)
-            for gi in range(boxes.shape[1]):
-                if valid[k, gi]:
-                    cx, cy, w, h = boxes[k, gi]
-                    ground_truth.append(
-                        (img_id, int(classes[k, gi]),
-                         np.asarray([cy - h / 2, cx - w / 2,
-                                     cy + h / 2, cx + w / 2])))
-            keep = out["keep"][k]
-            kept_idx = np.where(keep)[0]
-            if max_detections:
-                kept_idx = kept_idx[:max_detections]  # already score-sorted
-            for d in kept_idx:
-                detections.append(
-                    (img_id, int(out["classes"][k, d]),
-                     float(out["scores"][k, d]), out["boxes"][k, d]))
-            img_id += 1
+        # Vectorized row extraction (row-major nonzero keeps the exact
+        # (image, slot) append order of the per-image loop it replaced).
+        # GT is already in canvas coords, consistent with detections.
+        boxes_np, classes_np = np.asarray(boxes), np.asarray(classes)
+        for k, g in zip(*(a.tolist() for a in np.nonzero(np.asarray(valid)))):
+            cx, cy, w, h = boxes_np[k, g]
+            ground_truth.append(
+                (img_id + k, int(classes_np[k, g]),
+                 np.asarray([cy - h / 2, cx - w / 2,
+                             cy + h / 2, cx + w / 2])))
+        keep = out["keep"]
+        if max_detections:
+            # NMS output is score-sorted along the box axis: keeping the
+            # first max_detections kept entries per image == the old
+            # per-image np.where(...)[:max_detections]
+            keep = keep & (np.cumsum(keep, axis=1) <= max_detections)
+        for k, d in zip(*(a.tolist() for a in np.nonzero(keep))):
+            detections.append(
+                (img_id + k, int(out["classes"][k, d]),
+                 float(out["scores"][k, d]), out["boxes"][k, d]))
+        img_id += images.shape[0]
     log.info("eval: %d images, %d detections, %d gt boxes%s",
              img_id, len(detections), len(ground_truth),
              f" (shard {jax.process_index()}/{n_proc})" if distributed else "")
