@@ -7,6 +7,8 @@ TPU-native shape: one jitted fn runs forward + decode + top-K + batched NMS
 on device (Pallas kernel on TPU); only kept boxes return to the host.
 
 Usage: python3 cli/detect.py -c config.ini --weights W --image IMG [--out OUT]
+       ... --weights W --stdin   # serve: one image path per line, weights
+                                 # loaded and graph compiled exactly once
 """
 
 import os
@@ -17,15 +19,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from yolojax.utils.cli import make_parser, setup  # noqa: E402
 
 
-def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
-    import time
+def build_detector(cfg, weights_path, calib_canvases=None):
+    """Load weights, fold BN (+ optional stem fusion / int8 trunk) and jit
+    the serving graph once. Returns (names, dim, infer(canvases) -> out).
+
+    ``calib_canvases``: letterboxed input canvases for int8 activation
+    calibration (real data; falls back with a warning when absent).
+    """
     import logging
 
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from yolojax.data.augment import letterbox_host
+    from yolojax.convert.fold import fold_bn
     from yolojax.eval.evaluator import make_infer_fn
     from yolojax.utils.restore import load_weights
 
@@ -34,8 +41,6 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     names = cfg.names()
     dim = cfg.model.dim
     params, bn_state = load_weights(weights_path, model, dim)
-    from yolojax.convert.fold import fold_bn
-
     model, params, bn_state = fold_bn(model, params, bn_state)  # inference
     if not cfg.detect.use_int8:
         from yolojax.nn.stem import fuse_stem
@@ -45,30 +50,87 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     params = jax.tree_util.tree_map(jnp.asarray, params)
     bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
 
-    import cv2
-
     qm = None
     if cfg.detect.use_int8:
         from yolojax.quantize.ptq import quantize_model
 
-        # Calibrate activation scales on the actual inputs (letterboxed the
-        # same way the forward pass will see them) — real data, not noise.
-        calib_imgs = []
-        for p in image_paths[:8]:
-            raw = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-            canvas, _ = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
-            calib_imgs.append(canvas)
-        calib = jnp.asarray(np.stack(calib_imgs))
+        if calib_canvases:
+            calib = jnp.asarray(np.stack(calib_canvases))
+            log.info("int8 conv trunk enabled (calibrated on %d input "
+                     "images)", len(calib_canvases))
+        else:
+            calib = jax.random.uniform(jax.random.PRNGKey(9),
+                                       (8, dim, dim, 3), jnp.float32)
+            log.warning("int8 calibration falling back to synthetic inputs")
         qm = quantize_model(model, jax.device_get(params), calib)
-        log.info("int8 conv trunk enabled (calibrated on %d input images)",
-                 len(calib_imgs))
-    infer = make_infer_fn(
-        model, score_thresh=cfg.detect.threshold, iou_thresh=cfg.detect.nms_iou,
+    infer_fn = make_infer_fn(
+        model, score_thresh=cfg.detect.threshold,
+        iou_thresh=cfg.detect.nms_iou,
         top_k=cfg.detect.top_k, use_pallas=cfg.detect.use_pallas,
         candidates=cfg.detect.candidates,
         compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
         else jnp.bfloat16, qm=qm,
     )
+
+    def infer(canvases):
+        return jax.device_get(infer_fn(params, bn_state, canvases))
+
+    return names, dim, infer
+
+
+def _extract(out, k, tf, raw_shape, names):
+    """Un-letterbox image k's kept boxes to original coords."""
+    import numpy as np
+
+    sx, sy, px, py = tf
+    dets = []
+    for d in np.where(out["keep"][k])[0]:
+        y0, x0, y1, x1 = out["boxes"][k, d]
+        x0 = (x0 - px) / sx * raw_shape[1]
+        x1 = (x1 - px) / sx * raw_shape[1]
+        y0 = (y0 - py) / sy * raw_shape[0]
+        y1 = (y1 - py) / sy * raw_shape[0]
+        cls = int(out["classes"][k, d])
+        score = float(out["scores"][k, d])
+        dets.append((names[cls], cls, score, (x0, y0, x1, y1)))
+    return dets
+
+
+def _annotate(raw_rgb, dets):
+    import cv2
+
+    from yolojax.utils.draw import draw_detection
+
+    img = cv2.cvtColor(raw_rgb.copy(), cv2.COLOR_RGB2BGR)
+    for name, cls, score, (x0, y0, x1, y1) in dets:
+        draw_detection(img, int(x0), int(y0), int(x1), int(y1),
+                       f"{name} {score:.2f}", cls)
+    return img
+
+
+def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
+    import logging
+    import time
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolojax.data.augment import letterbox_host
+
+    log = logging.getLogger("detect")
+    dim = cfg.model.dim
+
+    calib = None
+    if cfg.detect.use_int8:
+        # Calibrate activation scales on the actual inputs (letterboxed the
+        # same way the forward pass will see them) — real data, not noise.
+        calib = []
+        for p in image_paths[:8]:
+            raw = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            canvas, _ = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
+            calib.append(canvas)
+    names, dim, infer = build_detector(cfg, weights_path, calib)
 
     # Batched path: pad the image list up to a fixed batch so many-image
     # detects compile once and ride the chip's batched throughput (the
@@ -89,38 +151,20 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
         while len(canvases) < batch:  # pad to the compiled batch size
             canvases.append(np.full((dim, dim, 3), 0.5, np.float32))
         t0 = time.perf_counter()
-        out = jax.device_get(
-            infer(params, bn_state, jnp.asarray(np.stack(canvases)))
-        )
+        out = infer(jnp.asarray(np.stack(canvases)))
         dt = time.perf_counter() - t0
         for k, image_path in enumerate(group):
-            raw = raws[k]
-            sx, sy, px, py = tfs[k]
-            dets = []
-            for d in np.where(out["keep"][k])[0]:
-                y0, x0, y1, x1 = out["boxes"][k, d]
-                # un-letterbox to original image coords
-                x0 = (x0 - px) / sx * raw.shape[1]
-                x1 = (x1 - px) / sx * raw.shape[1]
-                y0 = (y0 - py) / sy * raw.shape[0]
-                y1 = (y1 - py) / sy * raw.shape[0]
-                cls = int(out["classes"][k, d])
-                score = float(out["scores"][k, d])
-                dets.append((names[cls], cls, score, (x0, y0, x1, y1)))
-                print(f"{os.path.basename(image_path)}: {names[cls]} "
+            dets = _extract(out, k, tfs[k], raws[k].shape, names)
+            for name, _, score, (x0, y0, x1, y1) in dets:
+                print(f"{os.path.basename(image_path)}: {name} "
                       f"{score:.3f} [{x0:.0f}, {y0:.0f}, {x1:.0f}, {y1:.0f}]")
             log.info("%s: %d detections (batch of %d in %.1f ms)",
                      image_path, len(dets), len(group), dt * 1e3)
-            results.append((image_path, raw, dets))
+            results.append((image_path, raws[k], dets))
 
     for image_path, raw, dets in results:
         if out_path or show:
-            from yolojax.utils.draw import draw_detection
-
-            img = cv2.cvtColor(raw.copy(), cv2.COLOR_RGB2BGR)
-            for name, cls, score, (x0, y0, x1, y1) in dets:
-                draw_detection(img, int(x0), int(y0), int(x1), int(y1),
-                               f"{name} {score:.2f}", cls)
+            img = _annotate(raw, dets)
             if out_path:
                 dst = out_path if len(image_paths) == 1 else os.path.join(
                     out_path, os.path.basename(image_path))
@@ -132,18 +176,84 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     return results
 
 
+def run_stream(cfg, weights_path, out_dir=None, lines=None):
+    """Serve detections over a stream of image paths (one per line).
+
+    Weights load and the jit compile happen exactly once; every subsequent
+    image pays only preprocess + device time — the serving-daemon answer
+    to the reference's per-invocation graph build. Results are printed in
+    the same ``name score [x0, y0, x1, y1]`` format, with a blank line
+    terminating each image's block (machine-parseable), and optionally
+    annotated into ``out_dir``.
+    """
+    import logging
+
+    import cv2
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yolojax.data.augment import letterbox_host
+
+    log = logging.getLogger("detect")
+    dim = cfg.model.dim
+    names = None
+    infer = None
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    if lines is None:
+        lines = sys.stdin
+    n = 0
+    for line in lines:
+        image_path = line.strip()
+        if not image_path:
+            continue
+        img = cv2.imread(image_path)
+        if img is None:
+            print(f"{os.path.basename(image_path)}: ERROR unreadable")
+            print(flush=True)
+            continue
+        raw = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        canvas, tf = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
+        if infer is None:
+            # lazy build: int8 calibrates on the first real frame
+            names, dim, infer = build_detector(
+                cfg, weights_path,
+                [canvas] if cfg.detect.use_int8 else None)
+        out = infer(jnp.asarray(canvas[None]))
+        dets = _extract(out, 0, tf, raw.shape, names)
+        for name, _, score, (x0, y0, x1, y1) in dets:
+            print(f"{os.path.basename(image_path)}: {name} "
+                  f"{score:.3f} [{x0:.0f}, {y0:.0f}, {x1:.0f}, {y1:.0f}]")
+        print(flush=True)  # blank line = end of this image's block
+        if out_dir:
+            dst = os.path.join(out_dir, os.path.basename(image_path))
+            cv2.imwrite(os.path.splitext(dst)[0] + ".png",
+                        _annotate(raw, dets))
+        n += 1
+    log.info("stream done: %d images", n)
+    return n
+
+
 def main():
     parser = make_parser(__doc__)
     parser.add_argument("--weights", required=True,
                         help="npz / .weights / orbax dir / TF1 ckpt prefix")
-    parser.add_argument("--image", required=True, action="append",
+    parser.add_argument("--image", action="append", default=[],
                         help="image path (repeatable)")
+    parser.add_argument("--stdin", action="store_true",
+                        help="serve: read image paths from stdin, one per "
+                             "line; weights/compile are reused across images")
     parser.add_argument("--out", default="", help="annotated output path/dir")
     parser.add_argument("--show", action="store_true",
                         help="display the annotated image")
     args = parser.parse_args()
     cfg = setup(args)
-    run_detect(cfg, args.weights, args.image, args.out or None, args.show)
+    if args.stdin:
+        run_stream(cfg, args.weights, args.out or None)
+    elif args.image:
+        run_detect(cfg, args.weights, args.image, args.out or None, args.show)
+    else:
+        parser.error("one of --image or --stdin is required")
 
 
 if __name__ == "__main__":

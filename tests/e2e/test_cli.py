@@ -442,3 +442,30 @@ def test_20_profiler_server_flag(workspace, monkeypatch, tmp_path):
     metrics = [json.loads(l)
                for l in open(tmp_path / "proflog" / "yolo2_tiny" / "metrics.jsonl")]
     assert np.isfinite(metrics[-1]["total"])
+
+
+def test_21_detect_stdin_stream(workspace, monkeypatch, capsys, tmp_path):
+    """Streaming serve mode: weights load + compile once, then one image
+    per stdin line; blank-line-terminated blocks; annotated PNGs."""
+    import io
+
+    _ensure_prereqs(workspace, monkeypatch)
+    imgs = [str(workspace / "voc" / "JPEGImages" / f"{i:06d}.jpg")
+            for i in range(3)]
+    monkeypatch.setattr(sys, "stdin",
+                        io.StringIO("\n".join(imgs + ["/nope/missing.jpg"])))
+    out_dir = str(tmp_path / "stream")
+    _run("cli.detect", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--stdin", "--out", out_dir,
+        "detect.threshold=0.0001",
+    ], monkeypatch)
+    out = capsys.readouterr().out
+    blocks = [b for b in out.split("\n\n")]
+    # one block per input line (3 images + 1 unreadable), possibly a tail
+    assert out.count("\n\n") == 4, out[-500:]
+    assert "missing.jpg: ERROR unreadable" in out
+    assert "000000.jpg: " in out
+    import os as _os
+    assert len(_os.listdir(out_dir)) == 3  # annotated PNGs for real images
