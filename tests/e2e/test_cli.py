@@ -469,3 +469,24 @@ def test_21_detect_stdin_stream(workspace, monkeypatch, capsys, tmp_path):
     assert "000000.jpg: " in out
     import os as _os
     assert len(_os.listdir(out_dir)) == 3  # annotated PNGs for real images
+
+
+def test_22_multiscale_with_tensor_parallel(workspace, monkeypatch, tmp_path):
+    """Multi-scale bucketed jit variants must each re-propagate the TP
+    shardings (4x2 mesh) — gates the bucket-cache x GSPMD interaction."""
+    _ensure_prereqs(workspace, monkeypatch)
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/mstp",
+        "train.steps=4",
+        "train.mesh_model=2",
+        "train.multi_scale=1",
+        "train.multi_scale_min=32",
+        "train.multi_scale_max=64",
+        "train.multi_scale_every=1",
+    ], monkeypatch)
+    metrics = [json.loads(l)
+               for l in open(tmp_path / "mstp" / "yolo2_tiny" / "metrics.jsonl")]
+    dims = {m["dim"] for m in metrics}
+    assert dims == {32, 64}, dims
+    assert all(np.isfinite(m["total"]) for m in metrics)
