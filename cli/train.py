@@ -224,6 +224,24 @@ def main():
                     m_host["coord"], m_host["object"], m_host["noobject"],
                     m_host["class"], imgs_per_sec,
                 )
+            # Divergence guard: a NaN/inf loss means every later step is
+            # garbage — halt with the state checkpointed for forensics
+            # instead of silently burning the rest of the budget. Checked
+            # on summary steps (a scalar fetch, no extra sync otherwise);
+            # every process fetches + exits together (m is replicated).
+            if tcfg.halt_on_nonfinite and (
+                (step_i + 1) % tcfg.summary_steps == 0
+            ):
+                import math as _m
+
+                total_val = float(jax.device_get(m["total"]))
+                if not _m.isfinite(total_val):
+                    log.error("non-finite loss %s at step %d; checkpointing "
+                              "diverged state and halting", total_val,
+                              step_i + 1)
+                    ckpt.save(step_i + 1, host_state(ts), force=True)
+                    ckpt.wait()
+                    raise SystemExit(3)
             if (is_primary or gather_all) and tcfg.histogram_steps and (
                 (step_i + 1) % tcfg.histogram_steps == 0
             ):

@@ -490,3 +490,17 @@ def test_22_multiscale_with_tensor_parallel(workspace, monkeypatch, tmp_path):
     dims = {m["dim"] for m in metrics}
     assert dims == {32, 64}, dims
     assert all(np.isfinite(m["total"]) for m in metrics)
+
+
+def test_23_halt_on_nonfinite_loss(workspace, monkeypatch, tmp_path):
+    """Divergence guard: an exploding LR must halt with exit code 3 and a
+    forensic checkpoint instead of training on garbage."""
+    _ensure_prereqs(workspace, monkeypatch)
+    with pytest.raises(SystemExit) as e:
+        _run("cli.train", [
+            "-c", str(workspace / "test.ini"),
+            f"train.logdir={tmp_path}/divlog",
+            "train.steps=10", "train.learning_rate=1e12",
+        ], monkeypatch)
+    assert e.value.code == 3
+    assert (tmp_path / "divlog" / "yolo2_tiny" / "ckpt").is_dir()

@@ -81,6 +81,8 @@ class TrainConfig:
     profile_steps: int = 0         # capture a jax.profiler trace at step N
     profile_port: int = 0          # serve live jax.profiler captures (0 off)
     debug_nans: bool = False
+    halt_on_nonfinite: bool = True # stop + checkpoint when loss goes NaN/inf
+                                   # (checked on summary steps)
     # mesh
     mesh_data: int = 0             # 0 -> all devices
     mesh_model: int = 1
