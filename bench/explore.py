@@ -12,7 +12,6 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from yolojax.models import get_model
 from yolojax.postprocess.nms import postprocess_v2

@@ -6,7 +6,6 @@ the top device ops by total duration, splitting forward vs postprocess.
 """
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

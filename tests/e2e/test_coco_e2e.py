@@ -5,7 +5,6 @@ class count (not 20) flowing from the names file through the model head."""
 
 import json
 import os
-import sys
 
 import numpy as np
 import pytest

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from yolojax.models import Model, get_model
+from yolojax.models import Model
 from yolojax.nn.layers import (
     ConvSpec,
     DenseSpec,

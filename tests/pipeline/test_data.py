@@ -1,7 +1,6 @@
 """Data pipeline tests: VOC cache build, loader batching, on-device
 augmentation determinism + box/geometry consistency."""
 
-import os
 
 import numpy as np
 import jax

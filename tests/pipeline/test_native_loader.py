@@ -1,7 +1,6 @@
 """Native (C++) decode pool vs Python loader path: same canvases, same
 GT transforms, and a throughput sanity check."""
 
-import os
 
 import numpy as np
 import pytest

@@ -4,12 +4,10 @@ virtual 8-device CPU mesh (SURVEY.md §4.4)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from yolojax.models import Model
 from yolojax.nn.layers import ConvSpec, MaxPoolSpec
 from yolojax.parallel.mesh import (
-    batch_sharding,
     make_mesh,
     param_shardings,
     replicated,

@@ -1,7 +1,6 @@
 """NMS correctness: lax reference and Pallas kernel vs a numpy oracle."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

@@ -21,7 +21,6 @@ indices through that shift.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, List, Optional, Tuple
 
 from yolojax.nn.layers import (

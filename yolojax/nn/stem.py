@@ -36,7 +36,7 @@ table) is matched numerically, within f32-accumulation reordering.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
