@@ -31,35 +31,17 @@ def main():
     import time
 
     import cv2
-    import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from cli.detect import build_detector
     from yolojax.data.augment import letterbox_host
-    from yolojax.eval.evaluator import make_infer_fn
     from yolojax.utils.draw import draw_detection
-    from yolojax.utils.restore import load_weights
 
-    model = cfg.build_model()
-    names = cfg.names()
     dim = cfg.model.dim
-    params, bn_state = load_weights(args.weights, model, dim)
-    from yolojax.convert.fold import fold_bn
-
-    model, params, bn_state = fold_bn(model, params, bn_state)
-    from yolojax.nn.stem import fuse_stem
-
-    model, params, bn_state = fuse_stem(model, params, bn_state,
-                                        impl=cfg.detect.fuse_stem)
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
-    infer = make_infer_fn(
-        model, score_thresh=cfg.detect.threshold,
-        iou_thresh=cfg.detect.nms_iou, top_k=cfg.detect.top_k,
-        use_pallas=cfg.detect.use_pallas, candidates=cfg.detect.candidates,
-        compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
-        else jnp.bfloat16,
-    )
+    # Same serving stack as cli/detect.py (fold + optional stem fusion /
+    # int8 trunk, one jitted graph); int8 calibrates on the first frame.
+    names = infer = None
 
     src = args.video if args.video else args.camera
     cap = cv2.VideoCapture(src)
@@ -76,9 +58,11 @@ def main():
                 break
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
             canvas, (sx, sy, px, py) = letterbox_host(rgb, dim)
-            out = jax.device_get(
-                infer(params, bn_state, jnp.asarray(canvas[None]))
-            )
+            if infer is None:
+                names, dim, infer = build_detector(
+                    cfg, args.weights,
+                    [canvas] if cfg.detect.use_int8 else None)
+            out = infer(jnp.asarray(canvas[None]))
             h, w = frame.shape[:2]
             for d in np.where(out["keep"][0])[0]:
                 y0, x0, y1, x1 = out["boxes"][0, d]

@@ -504,3 +504,25 @@ def test_23_halt_on_nonfinite_loss(workspace, monkeypatch, tmp_path):
         ], monkeypatch)
     assert e.value.code == 3
     assert (tmp_path / "divlog" / "yolo2_tiny" / "ckpt").is_dir()
+
+
+def test_24_detect_camera_int8(workspace, monkeypatch, tmp_path):
+    """Camera path rides the same serving stack as detect: int8 trunk,
+    calibrated on the first frame."""
+    import cv2
+
+    _ensure_prereqs(workspace, monkeypatch)
+    video = str(tmp_path / "clip8.avi")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 5, (96, 64))
+    rng = np.random.RandomState(1)
+    for _ in range(3):
+        w.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    w.release()
+    out_dir = str(tmp_path / "frames8")
+    _run("cli.detect_camera", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--video", video, "--out-dir", out_dir, "--max-frames", "2",
+        "detect.use_int8=1",
+    ], monkeypatch)
+    assert len(os.listdir(out_dir)) == 2
