@@ -526,3 +526,22 @@ def test_24_detect_camera_int8(workspace, monkeypatch, tmp_path):
         "detect.use_int8=1",
     ], monkeypatch)
     assert len(os.listdir(out_dir)) == 2
+
+
+def test_25_compile_cache_knob(workspace, monkeypatch, tmp_path, capsys):
+    """model.compile_cache points jax's persistent jit cache at a dir; a
+    CLI run populates it (CLI restarts then skip recompiles)."""
+    import jax
+
+    _ensure_prereqs(workspace, monkeypatch)
+    cache_dir = str(tmp_path / "jitcache")
+    img = str(workspace / "voc" / "JPEGImages" / "000002.jpg")
+    try:
+        _run("cli.detect", [
+            "-c", str(workspace / "test.ini"),
+            "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+            "--image", img, f"model.compile_cache={cache_dir}",
+        ], monkeypatch)
+        assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
+    finally:  # don't leak the cache config into other tests
+        jax.config.update("jax_compilation_cache_dir", None)

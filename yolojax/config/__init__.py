@@ -49,6 +49,8 @@ class ModelConfig:
     prior_scale: float = 0.0
     leaky_alpha: float = 0.1
     bn_eps: float = 1e-5
+    compile_cache: str = ""        # dir for jax's persistent jit cache
+                                   # ("" disables); shared by every CLI
 
 
 @dataclasses.dataclass(frozen=True)

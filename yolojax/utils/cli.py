@@ -37,4 +37,16 @@ def setup(args):
                               else [])
     if not configs:
         raise SystemExit("no config file found; pass -c config.ini")
-    return load_config(configs, args.overrides)
+    cfg = load_config(configs, args.overrides)
+    if cfg.model.compile_cache:
+        # persistent jit cache: re-running any CLI with the same shapes
+        # skips recompilation (the TF1 reference rebuilt+re-ran its graph
+        # from scratch every invocation)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser(cfg.model.compile_cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        logging.getLogger(__name__).info(
+            "persistent compilation cache: %s", cfg.model.compile_cache)
+    return cfg
