@@ -162,14 +162,18 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
                      image_path, len(dets), len(group), dt * 1e3)
             results.append((image_path, raws[k], dets))
 
+    if out_path and len(image_paths) > 1:
+        os.makedirs(out_path, exist_ok=True)
     for image_path, raw, dets in results:
         if out_path or show:
             img = _annotate(raw, dets)
             if out_path:
                 dst = out_path if len(image_paths) == 1 else os.path.join(
                     out_path, os.path.basename(image_path))
-                cv2.imwrite(dst, img)
-                log.info("wrote %s", dst)
+                if cv2.imwrite(dst, img):
+                    log.info("wrote %s", dst)
+                else:
+                    log.error("failed to write %s", dst)
             if show:  # pragma: no cover
                 cv2.imshow("detect", img)
                 cv2.waitKey(0)
@@ -226,9 +230,12 @@ def run_stream(cfg, weights_path, out_dir=None, lines=None):
                   f"{score:.3f} [{x0:.0f}, {y0:.0f}, {x1:.0f}, {y1:.0f}]")
         print(flush=True)  # blank line = end of this image's block
         if out_dir:
-            dst = os.path.join(out_dir, os.path.basename(image_path))
-            cv2.imwrite(os.path.splitext(dst)[0] + ".png",
-                        _annotate(raw, dets))
+            # index prefix: distinct inputs sharing a basename must not
+            # silently overwrite each other
+            stem = os.path.splitext(os.path.basename(image_path))[0]
+            dst = os.path.join(out_dir, f"{n:06d}_{stem}.png")
+            if not cv2.imwrite(dst, _annotate(raw, dets)):
+                log.error("failed to write %s", dst)
         n += 1
     log.info("stream done: %d images", n)
     return n
@@ -248,6 +255,8 @@ def main():
                         help="display the annotated image")
     args = parser.parse_args()
     cfg = setup(args)
+    if args.stdin and (args.image or args.show):
+        parser.error("--stdin is exclusive with --image/--show")
     if args.stdin:
         run_stream(cfg, args.weights, args.out or None)
     elif args.image:

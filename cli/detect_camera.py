@@ -32,9 +32,8 @@ def main():
 
     import cv2
     import jax.numpy as jnp
-    import numpy as np
 
-    from cli.detect import build_detector
+    from cli.detect import _extract, build_detector
     from yolojax.data.augment import letterbox_host
     from yolojax.utils.draw import draw_detection
 
@@ -57,23 +56,18 @@ def main():
             if not ok:
                 break
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            canvas, (sx, sy, px, py) = letterbox_host(rgb, dim)
+            canvas, tf = letterbox_host(rgb, dim,
+                                        stretch=cfg.detect.stretch)
             if infer is None:
                 names, dim, infer = build_detector(
                     cfg, args.weights,
                     [canvas] if cfg.detect.use_int8 else None)
             out = infer(jnp.asarray(canvas[None]))
-            h, w = frame.shape[:2]
-            for d in np.where(out["keep"][0])[0]:
-                y0, x0, y1, x1 = out["boxes"][0, d]
-                x0 = int((x0 - px) / sx * w)
-                x1 = int((x1 - px) / sx * w)
-                y0 = int((y0 - py) / sy * h)
-                y1 = int((y1 - py) / sy * h)
-                cls = int(out["classes"][0, d])
-                score = float(out["scores"][0, d])
-                draw_detection(frame, x0, y0, x1, y1,
-                               f"{names[cls]} {score:.2f}", cls)
+            for name, cls, score, (x0, y0, x1, y1) in _extract(
+                out, 0, tf, frame.shape, names
+            ):
+                draw_detection(frame, int(x0), int(y0), int(x1), int(y1),
+                               f"{name} {score:.2f}", cls)
             frames += 1
             fps = frames / (time.perf_counter() - t0)
             cv2.putText(frame, f"{fps:.1f} fps", (8, 20),

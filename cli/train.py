@@ -236,11 +236,20 @@ def main():
 
                 total_val = float(jax.device_get(m["total"]))
                 if not _m.isfinite(total_val):
-                    log.error("non-finite loss %s at step %d; checkpointing "
-                              "diverged state and halting", total_val,
-                              step_i + 1)
-                    ckpt.save(step_i + 1, host_state(ts), force=True)
-                    ckpt.wait()
+                    # forensic save goes to a SEPARATE directory: the main
+                    # restart-from-latest chain must keep pointing at the
+                    # last good step, not at diverged weights (otherwise a
+                    # supervised auto-restart loop trains on garbage and
+                    # max_to_keep evicts every pre-divergence checkpoint)
+                    log.error("non-finite loss %s at step %d; saving "
+                              "diverged state for forensics and halting "
+                              "(latest good checkpoint: step %s)", total_val,
+                              step_i + 1, ckpt.latest_step())
+                    forensic = Checkpointer(
+                        os.path.join(logdir, "diverged"), max_to_keep=1)
+                    forensic.save(step_i + 1, host_state(ts), force=True)
+                    forensic.wait()
+                    forensic.close()
                     raise SystemExit(3)
             if (is_primary or gather_all) and tcfg.histogram_steps and (
                 (step_i + 1) % tcfg.histogram_steps == 0

@@ -503,7 +503,9 @@ def test_23_halt_on_nonfinite_loss(workspace, monkeypatch, tmp_path):
             "train.steps=10", "train.learning_rate=1e12",
         ], monkeypatch)
     assert e.value.code == 3
-    assert (tmp_path / "divlog" / "yolo2_tiny" / "ckpt").is_dir()
+    # forensic save goes to its own dir; the restart chain stays clean
+    div = tmp_path / "divlog" / "yolo2_tiny" / "diverged"
+    assert div.is_dir() and any(div.iterdir())
 
 
 def test_24_detect_camera_int8(workspace, monkeypatch, tmp_path):

@@ -98,8 +98,13 @@ class GrainLoader:
     def __len__(self) -> int:
         n = len(self.cache)
         if self.cfg.shard_count > 1:
-            # exact per-shard size (shards differ by at most one image)
-            n = len(range(self.cfg.shard_index, n, self.cfg.shard_count))
+            if self.cfg.drop_remainder:
+                # grain's even_split drops the tail: every shard n//count
+                n = n // self.cfg.shard_count
+            else:
+                # sizes differ by at most one (shard i gets the +1 while
+                # i < n % count — same counts as a strided split)
+                n = len(range(self.cfg.shard_index, n, self.cfg.shard_count))
         b = self.cfg.batch_size
         return n // b if self.cfg.drop_remainder else (n + b - 1) // b
 
