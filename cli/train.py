@@ -119,6 +119,7 @@ def main():
                  sorted(drop) or "none")
 
     ckpt = Checkpointer(os.path.join(logdir, "ckpt"),
+                        max_to_keep=tcfg.keep_checkpoints,
                         save_interval_steps=tcfg.save_steps)
     start_step, ts = ckpt.restore_latest(ts)
     if start_step is not None:

@@ -547,3 +547,17 @@ def test_25_compile_cache_knob(workspace, monkeypatch, tmp_path, capsys):
         assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
     finally:  # don't leak the cache config into other tests
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_26_keep_checkpoints_knob(workspace, monkeypatch, tmp_path):
+    """train.keep_checkpoints = tf.train.Saver max_to_keep equivalent."""
+    _ensure_prereqs(workspace, monkeypatch)
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/keeplog",
+        "train.steps=3", "train.save_steps=1",
+        "train.keep_checkpoints=1",
+    ], monkeypatch)
+    ckpt_dir = tmp_path / "keeplog" / "yolo2_tiny" / "ckpt"
+    steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
+    assert steps == ["3"], steps

@@ -68,6 +68,7 @@ class TrainConfig:
     logdir: str = "logdir"
     steps: int = 100_000
     save_steps: int = 1000
+    keep_checkpoints: int = 5      # tf.train.Saver max_to_keep equivalent
     summary_steps: int = 20
     image_summary_steps: int = 0   # 0 disables box-drawn image dumps
     histogram_steps: int = 0       # 0 disables param histogram summaries
