@@ -539,10 +539,15 @@ def test_25_compile_cache_knob(workspace, monkeypatch, tmp_path, capsys):
     cache_dir = str(tmp_path / "jitcache")
     img = str(workspace / "voc" / "JPEGImages" / "000002.jpg")
     try:
+        # distinct dim/top_k -> a graph no earlier in-process test compiled,
+        # so a fresh compilation (and a cache write) must happen even when
+        # the suite already jitted the default detect graph (tiny-v2 is
+        # fully convolutional: the dim-64 checkpoint loads at dim 96)
         _run("cli.detect", [
             "-c", str(workspace / "test.ini"),
             "--weights", str(workspace / "logdir" / "yolo2_tiny"),
             "--image", img, f"model.compile_cache={cache_dir}",
+            "model.dim=96", "detect.top_k=32",
         ], monkeypatch)
         assert os.path.isdir(cache_dir) and os.listdir(cache_dir)
     finally:  # don't leak the cache config into other tests

@@ -48,7 +48,10 @@ weight_decay = 0
 
 def _env():
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # single device: this test gates crash/resume, not sharding — 1 CPU
+    # device compiles much faster and keeps the subprocess light enough to
+    # stay within the deadline even when the suite has bloated the host
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["JAX_PLATFORMS"] = "cpu"
     return env
 

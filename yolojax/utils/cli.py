@@ -46,7 +46,10 @@ def setup(args):
 
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser(cfg.model.compile_cache))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # the user opted in explicitly: cache every program, not just the
+        # >1s ones (jax's default threshold skips small graphs, which makes
+        # the cache look silently broken for fast-compiling configs)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
         logging.getLogger(__name__).info(
             "persistent compilation cache: %s", cfg.model.compile_cache)
     return cfg
