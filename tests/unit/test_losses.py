@@ -176,3 +176,103 @@ def test_v1_gradients_finite():
     g = jax.grad(f)(flat)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-GT determinism (VERDICT r2 weak #1): two valid GTs landing on the
+# same scatter slot must resolve deterministically — the LAST one in the
+# padded list wins, Darknet's sequential-overwrite semantics — instead of
+# relying on XLA's undefined duplicate-index scatter order.
+# ---------------------------------------------------------------------------
+
+
+def test_v2_duplicate_gt_same_cell_anchor_last_wins():
+    n, h, w, a, c = 1, 4, 4, 3, 5
+    # both GTs: cell (1, 1), wh ~ 1 grid unit -> best anchor 0 for both
+    gt = np.asarray([[[0.30, 0.40, 0.25, 0.25],
+                      [0.35, 0.45, 0.26, 0.26]]], np.float32)
+    cls = np.asarray([[1, 3]], np.int32)
+    valid = np.ones((1, 2), bool)
+
+    # head perfectly predicting GT #2 (the later one): near-zero loss
+    head_last = _v2_perfect_head(n, h, w, a, c, gt[:, 1:], cls[:, 1:], ANCHORS)
+    terms = yolo_v2_loss(jnp.asarray(head_last), ANCHORS, jnp.asarray(gt),
+                         jnp.asarray(cls), jnp.asarray(valid))
+    assert float(terms["coord"]) < 1e-4, float(terms["coord"])
+    assert float(terms["class"]) < 1e-4, float(terms["class"])
+    assert float(terms["object"]) < 1e-3
+
+    # head perfectly predicting GT #1 instead: the class target is GT #2's,
+    # so the class term must see the one-hot mismatch (~2.0)
+    head_first = _v2_perfect_head(n, h, w, a, c, gt[:, :1], cls[:, :1], ANCHORS)
+    terms1 = yolo_v2_loss(jnp.asarray(head_first), ANCHORS, jnp.asarray(gt),
+                          jnp.asarray(cls), jnp.asarray(valid))
+    assert float(terms1["class"]) > 0.5, float(terms1["class"])
+
+    # identical result under explicit jit (the semantics must not depend on
+    # whether XLA compiles the scatter)
+    jitted = jax.jit(lambda hd: yolo_v2_loss(
+        hd, ANCHORS, jnp.asarray(gt), jnp.asarray(cls), jnp.asarray(valid)))
+    terms_j = jitted(jnp.asarray(head_last))
+    np.testing.assert_allclose(float(terms_j["total"]),
+                               float(terms["total"]), rtol=1e-6)
+
+
+def test_v2_duplicate_dropped_gt_still_exempts_noobj():
+    """The earlier duplicate loses the scatter slot but remains a real
+    object: an unassigned anchor predicting IT precisely must still escape
+    the noobj penalty."""
+    n, h, w, a, c = 1, 4, 4, 2, 2
+    anchors = ((2.0, 2.0), (2.1, 2.1))
+    # GT1 at cell (2,2) wh=2 grid -> anchor 0; GT2 same cell, same anchor
+    gt = np.asarray([[[0.625, 0.625, 0.5, 0.5],
+                      [0.6, 0.6, 0.48, 0.48]]], np.float32)
+    cls = np.zeros((1, 2), np.int32)
+    valid = np.ones((1, 2), bool)
+    head = np.zeros((n, h, w, a, 5 + c), np.float32)
+    head[..., 4] = -20.0
+    # anchor 1 (unassigned) decodes to ~GT1's box with conf 0.9
+    head[0, 2, 2, 1, 0:4] = [0.0, 0.0, np.log(2.0 / 2.1), np.log(2.0 / 2.1)]
+    head[0, 2, 2, 1, 4] = _logit(0.9)
+    terms_exempt = yolo_v2_loss(
+        jnp.asarray(head), anchors, jnp.asarray(gt), jnp.asarray(cls),
+        jnp.asarray(valid), cfg=YoloV2LossConfig(iou_thresh=0.6))
+    terms_strict = yolo_v2_loss(
+        jnp.asarray(head), anchors, jnp.asarray(gt), jnp.asarray(cls),
+        jnp.asarray(valid), cfg=YoloV2LossConfig(iou_thresh=1.1))
+    diff = float(terms_strict["noobject"]) - float(terms_exempt["noobject"])
+    np.testing.assert_allclose(diff, 0.81, rtol=1e-3)  # exemption held
+
+
+def test_v1_duplicate_gt_same_cell_last_wins():
+    n, s, b, c = 1, 4, 2, 3
+    gt = np.asarray([[[0.30, 0.40, 0.25, 0.25],
+                      [0.35, 0.45, 0.30, 0.30]]], np.float32)
+    cls = np.asarray([[0, 2]], np.int32)
+    valid = np.ones((1, 2), bool)
+
+    flat_last = _v1_perfect_flat(n, s, b, c, gt[:, 1:], cls[:, 1:])
+    terms = yolo_v1_loss(jnp.asarray(flat_last), s, b, c, jnp.asarray(gt),
+                         jnp.asarray(cls), jnp.asarray(valid))
+    assert float(terms["total"]) < 1e-5, float(terms["total"])
+
+    flat_first = _v1_perfect_flat(n, s, b, c, gt[:, :1], cls[:, :1])
+    terms1 = yolo_v1_loss(jnp.asarray(flat_first), s, b, c, jnp.asarray(gt),
+                          jnp.asarray(cls), jnp.asarray(valid))
+    assert float(terms1["class"]) > 0.5, float(terms1["class"])
+
+    jitted = jax.jit(lambda x: yolo_v1_loss(
+        x, s, b, c, jnp.asarray(gt), jnp.asarray(cls), jnp.asarray(valid)))
+    np.testing.assert_allclose(float(jitted(jnp.asarray(flat_last))["total"]),
+                               float(terms["total"]), rtol=1e-6)
+
+
+def test_duplicate_mask_unit():
+    from yolojax.train.losses import _mask_duplicate_slots
+
+    slot = jnp.asarray([[3, 5, 3, 5, 3, 9]], jnp.int32)
+    valid = jnp.asarray([[True, True, True, True, False, True]])
+    keep = np.asarray(_mask_duplicate_slots(slot, valid))
+    # slot 3: GTs 0, 2 valid (4 invalid) -> 2 wins; slot 5: 1, 3 -> 3 wins
+    np.testing.assert_array_equal(
+        keep[0], [False, False, True, True, False, True])

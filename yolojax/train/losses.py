@@ -31,6 +31,24 @@ import jax.numpy as jnp
 from yolojax.ops.boxes import iou_matrix, iou_pairwise, xywh_to_corners
 
 
+def _mask_duplicate_slots(slot: jax.Array, gt_valid: jax.Array) -> jax.Array:
+    """Deterministic winner for GTs colliding on one target slot.
+
+    ``slot`` (N, G) int32 linearized scatter destination per GT. XLA scatter
+    with duplicate indices is UNDEFINED, so before scattering we drop every
+    valid GT that has a LATER valid GT bound for the same slot: the last GT
+    in the padded list wins, the sequential-overwrite semantics of Darknet's
+    per-truth loop (and of the reference's feed-dict gridding). Returns a
+    bool (N, G) mask of surviving GTs. O(G^2) compare — G is max_boxes
+    (<= 64), negligible next to the IoU matrix this loss already builds.
+    """
+    g = slot.shape[1]
+    same = slot[:, :, None] == slot[:, None, :]  # (N, G, G') slot_i == slot_j
+    later = jnp.arange(g)[None, :] > jnp.arange(g)[:, None]  # (G, G') j > i
+    loser = jnp.any(same & later[None] & gt_valid[:, None, :], axis=-1)
+    return gt_valid & ~loser
+
+
 # ---------------------------------------------------------------------------
 # YOLOv2
 # ---------------------------------------------------------------------------
@@ -91,7 +109,6 @@ def yolo_v2_loss(
     pred_wh = anc * jnp.exp(twh) / scale
     pred_corners = xywh_to_corners(pred_xy, pred_wh)  # (N,H,W,A,4)
 
-    valid = gt_valid.astype(f32)  # (N, G)
     g = gt_xywh.shape[1]
 
     # ---- per-GT assignment: cell + best anchor ---------------------------
@@ -108,11 +125,19 @@ def yolo_v2_loss(
     anchor_iou = inter / jnp.maximum(union, 1e-10)  # (N,G,A)
     best_a = jnp.argmax(anchor_iou, axis=-1)  # (N,G)
 
-    # scatter indices; padding GTs get out-of-range rows -> mode='drop'
+    # scatter indices; padding GTs get out-of-range rows -> mode='drop'.
+    # Two valid GTs landing on the same (cell, anchor) — routine in crowded
+    # images — would be an undefined-duplicate scatter: resolve first so the
+    # LAST one in the padded list deterministically wins.
     n_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, g))
-    ci = jnp.where(gt_valid, cell[..., 0].astype(jnp.int32), w + h)  # x -> W dim
-    cj = jnp.where(gt_valid, cell[..., 1].astype(jnp.int32), w + h)
+    slot = (cell[..., 1].astype(jnp.int32) * w
+            + cell[..., 0].astype(jnp.int32)) * a + best_a
+    keep_gt = _mask_duplicate_slots(
+        jnp.where(gt_valid, slot, h * w * a), gt_valid)
+    ci = jnp.where(keep_gt, cell[..., 0].astype(jnp.int32), w + h)  # x -> W
+    cj = jnp.where(keep_gt, cell[..., 1].astype(jnp.int32), w + h)
     ai = best_a
+    valid = keep_gt.astype(f32)  # survivors only feed the target scatters
 
     # coordinate targets in t-space
     t_xy_star = gxy * scale - cell  # in (0,1)
@@ -139,10 +164,12 @@ def yolo_v2_loss(
     obj_target = iou_at if cfg.rescore else jnp.ones_like(iou_at)
 
     # ---- noobj mask: best IoU with any GT <= thresh and not assigned -----
+    # (ALL valid GTs exempt high-IoU predictors here, including duplicates
+    # dropped from the scatter above — they are still real objects)
     gt_corners = xywh_to_corners(gxy, gwh)  # (N,G,4)
     pc = pred_corners.reshape(n, h * w * a, 4)
     all_iou = iou_matrix(pc, gt_corners)  # (N,HWA,G)
-    all_iou = all_iou * valid[:, None, :]
+    all_iou = all_iou * gt_valid.astype(f32)[:, None, :]
     best_iou = jnp.max(all_iou, axis=-1).reshape(n, h, w, a)
     noobj_mask = (best_iou <= cfg.iou_thresh).astype(f32) * (1.0 - obj_mask)
 
@@ -200,8 +227,11 @@ def yolo_v1_loss(
     gt_valid: jax.Array,
     cfg: YoloV1LossConfig = YoloV1LossConfig(),
 ) -> Dict[str, jax.Array]:
-    """Fused v1 objective (paper eq. 3). One GT per cell (later GTs in the
-    padded list win the cell, matching sequential-overwrite semantics)."""
+    """Fused v1 objective (paper eq. 3). One GT per cell: later GTs in the
+    padded list win the cell (enforced by masking earlier duplicates BEFORE
+    the scatter — duplicate-index scatter is undefined in XLA, see
+    :func:`_mask_duplicate_slots` — so the sequential-overwrite semantics
+    hold deterministically; pinned by tests/unit/test_losses.py)."""
     from yolojax.ops.boxes import split_v1_head
 
     s, b, c = grid, boxes_per_cell, num_classes
@@ -212,23 +242,26 @@ def yolo_v1_loss(
     conf = parts["conf"]  # (N,S,S,B)
     raw = parts["boxes_raw"]  # (N,S,S,B,4) [x, y, (sqrt)w, (sqrt)h]
 
-    # ---- grid the GTs: one per cell, later wins ---------------------------
+    # ---- grid the GTs: one per cell, later wins (deterministically) -------
     g = gt_xywh.shape[1]
     gxy = gt_xywh[..., 0:2].astype(f32)
     gwh = gt_xywh[..., 2:4].astype(f32)
     cell = jnp.clip(jnp.floor(gxy * s), 0, s - 1)
     n_idx = jnp.broadcast_to(jnp.arange(n)[:, None], (n, g))
-    ci = jnp.where(gt_valid, cell[..., 0].astype(jnp.int32), 2 * s)
-    cj = jnp.where(gt_valid, cell[..., 1].astype(jnp.int32), 2 * s)
+    slot = cell[..., 1].astype(jnp.int32) * s + cell[..., 0].astype(jnp.int32)
+    keep_gt = _mask_duplicate_slots(
+        jnp.where(gt_valid, slot, s * s), gt_valid)
+    ci = jnp.where(keep_gt, cell[..., 0].astype(jnp.int32), 2 * s)
+    cj = jnp.where(keep_gt, cell[..., 1].astype(jnp.int32), 2 * s)
 
     def scat(values, depth):
         buf = jnp.zeros((n, s, s) + ((depth,) if depth else ()), f32)
         return buf.at[n_idx, cj, ci].set(values, mode="drop")
 
-    has_obj = scat(gt_valid.astype(f32), 0)  # (N,S,S)
+    has_obj = scat(keep_gt.astype(f32), 0)  # (N,S,S)
     cell_xy = scat(gxy, 2)
     cell_wh = scat(gwh, 2)
-    cell_cls = scat(jax.nn.one_hot(gt_class, c) * gt_valid[..., None], c)
+    cell_cls = scat(jax.nn.one_hot(gt_class, c) * keep_gt[..., None], c)
 
     # ---- decode predictions to normalized boxes ---------------------------
     cxg = jax.lax.broadcasted_iota(f32, (s, s), 1)[None, :, :, None]
