@@ -51,12 +51,27 @@ def test_half_recall_eleven_point():
 
 
 def test_class_confusion_is_fp():
-    gt = [(0, 1, box(0, 0, 10, 10))]
-    dets = [(0, 0, 0.9, box(0, 0, 10, 10))]  # right box, wrong class
-    m = compute_map(dets, gt, num_classes=2)
+    # image 0: class-1 GT misdetected as class 0; image 1: a real class-0
+    # GT, so class 0 is present in the set and the confusion counts as FP
+    gt = [(0, 1, box(0, 0, 10, 10)), (1, 0, box(0, 0, 10, 10))]
+    dets = [(0, 0, 0.9, box(0, 0, 10, 10)),   # right box, wrong class: FP
+            (1, 0, 0.5, box(0, 0, 10, 10))]   # real TP, ranked below the FP
+    m = compute_map(dets, gt, num_classes=2, eleven_point=False)
     assert m["ap_1"] == 0.0  # class 1 undetected
-    assert m["ap_0"] == 0.0  # class 0 detection is FP (no class-0 GT... )
-    assert m["map"] == 0.0
+    assert np.isclose(m["ap_0"], 0.5)  # precision 1/2 at recall 1
+    assert np.isclose(m["map"], 0.25)
+
+
+def test_absent_class_excluded_from_mean():
+    """Classes with no GT in the set are excluded (VOC devkit / COCO
+    convention), NOT averaged in as 0 — detections of absent classes carry
+    no penalty and no ap_c key is emitted."""
+    gt = [(0, 0, box(0, 0, 10, 10))]
+    dets = [(0, 0, 0.9, box(0, 0, 10, 10)),
+            (0, 1, 0.95, box(20, 20, 30, 30))]  # hallucinated absent class
+    m = compute_map(dets, gt, num_classes=2)
+    assert "ap_1" not in m
+    assert np.isclose(m["map"], 1.0)
 
 
 def test_iou_threshold_boundary():
@@ -113,3 +128,66 @@ def test_coco_map_size_bins_with_box_scale():
     m = compute_coco_map(det, gt, 1, box_scale=416.0)
     assert m["ap_small"] == 1.0 and m["ap_large"] == 1.0
     assert np.isnan(m["ap_medium"])  # no medium GT on this set
+
+
+# ---------------------------------------------------------------------------
+# COCO ignore semantics for the size bins (ADVICE r2 medium): detections
+# matched to out-of-bin GT must be ignored, not false positives, and
+# classes with no in-bin GT must be excluded from the bin mean.
+# ---------------------------------------------------------------------------
+
+
+def test_coco_bin_det_matching_out_of_bin_gt_is_ignored():
+    from yolojax.eval.voc_map import compute_coco_map
+
+    # one small GT (in small bin) + one large GT; both detected perfectly.
+    small = np.array([0.0, 0.0, 20.0, 20.0])     # 400 px^2 -> small
+    large = np.array([50.0, 50.0, 250.0, 250.0])  # 40000 px^2 -> large
+    gt = [(0, 0, small), (0, 0, large)]
+    det = [(0, 0, 0.9, small), (0, 0, 0.8, large)]
+    m = compute_coco_map(det, gt, 1)
+    # the large detection matches large (out-of-small-bin) GT: ignored in
+    # the small bin, so ap_small is a clean 1.0 (the old filter-both
+    # behavior also gave 1.0 here; the next tests separate them)
+    assert m["ap_small"] == 1.0 and m["ap_large"] == 1.0
+
+    # now score the LARGE det higher and make its box slightly off so its
+    # area drifts just under the small/large boundary while still matching
+    # the large GT at IoU>0.5: under filter-both it would leak into the
+    # small bin as an unmatched FP ranked above the small TP, halving AP.
+    drifted = np.array([50.0, 50.0, 81.0, 81.0])  # 961 px^2 -> small bin
+    gt2 = [(0, 0, small), (0, 0, np.array([50.0, 50.0, 90.0, 90.0]))]
+    det2 = [(0, 0, 0.95, drifted), (0, 0, 0.8, small)]
+    m2 = compute_coco_map(det2, gt2, 1)
+    # drifted det (in small bin by area) matches the out-of-bin 1600px GT
+    # (IoU 961/1600 = 0.6) at t=0.5..0.6 -> ignored there, so the small
+    # bin's TP stream is the clean small detection
+    assert m2["ap_small"] >= 0.3, m2  # nonzero across the 10-threshold mean
+
+
+def test_coco_bin_class_without_in_bin_gt_excluded():
+    from yolojax.eval.voc_map import compute_coco_map
+
+    small = np.array([0.0, 0.0, 20.0, 20.0])
+    large = np.array([50.0, 50.0, 250.0, 250.0])
+    # class 0: small GT, perfect small det. class 1: only LARGE GT, and a
+    # large detection for it (out of small bin entirely).
+    gt = [(0, 0, small), (0, 1, large)]
+    det = [(0, 0, 0.9, small), (0, 1, 0.8, large)]
+    m = compute_coco_map(det, gt, 2)
+    # class 1 has no small GT -> excluded from the small-bin mean entirely
+    # (the old code averaged in an AP of 0.0 for it, giving 0.5)
+    assert m["ap_small"] == 1.0, m
+
+
+def test_coco_bin_unmatched_out_of_bin_detection_ignored():
+    from yolojax.eval.voc_map import compute_coco_map
+
+    small = np.array([0.0, 0.0, 20.0, 20.0])
+    gt = [(0, 0, small)]
+    # a high-scoring LARGE spurious detection: FP for the large bin (nan
+    # there: no large GT) but must NOT count as FP inside the small bin
+    det = [(0, 0, 0.95, np.array([100.0, 100.0, 300.0, 300.0])),
+           (0, 0, 0.9, small)]
+    m = compute_coco_map(det, gt, 1)
+    assert m["ap_small"] == 1.0, m

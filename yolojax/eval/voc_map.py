@@ -46,6 +46,12 @@ def compute_map(
     detections:   (image_id, class_id, score, box[ymin,xmin,ymax,xmax])
     ground_truth: (image_id, class_id, box)
     Boxes in any consistent coordinate system.
+
+    Classes with no ground truth in the set are EXCLUDED from the mean
+    (no ``ap_c`` emitted), the VOC-devkit/COCO convention — detections of
+    such classes carry no penalty, exactly as in pycocotools. On real VOC
+    val/test splits every class has GT, so this only matters for small
+    synthetic sets.
     """
 
     def iou(a, b):  # a: (4,), b: (M,4)
@@ -68,9 +74,7 @@ def compute_map(
         dets = [(img, score, np.asarray(box, np.float64))
                 for img, cls, score, box in detections if cls == c]
         if npos == 0:
-            if dets:
-                aps[c] = 0.0
-            continue
+            continue  # absent class: excluded from the mean (see docstring)
         dets.sort(key=lambda d: -d[1])
         matched: Dict[int, np.ndarray] = {
             img: np.zeros(len(v), bool) for img, v in gt_by_img.items()
@@ -107,6 +111,91 @@ COCO_AREA_RANGES = {
 }
 
 
+def _binned_ap(
+    detections,
+    ground_truth,
+    num_classes: int,
+    *,
+    iou_thresh: float,
+    gt_in_bin,
+    det_in_bin,
+) -> float:
+    """One size-bin AP at one IoU threshold with COCO ignore semantics.
+
+    Matching runs against ALL ground truth; out-of-bin GT is *ignored*
+    rather than removed: a detection matched to an ignored GT is neither a
+    TP nor an FP, and an unmatched detection whose own area is out-of-bin
+    is ignored rather than an FP. Classes with no in-bin GT are excluded
+    from the bin mean (COCO's -1 cells). ``gt_in_bin`` / ``det_in_bin``
+    are index-aligned bool arrays over the input sequences.
+    """
+    import numpy as _np
+
+    def iou(a, b):  # a: (4,), b: (M,4)
+        lo = _np.maximum(a[:2], b[:, :2])
+        hi = _np.minimum(a[2:], b[:, 2:])
+        inter = _np.prod(_np.maximum(hi - lo, 0), axis=1)
+        area_a = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
+        area_b = _np.maximum(b[:, 2] - b[:, 0], 0) * _np.maximum(
+            b[:, 3] - b[:, 1], 0
+        )
+        return inter / _np.maximum(area_a + area_b - inter, 1e-10)
+
+    aps: List[float] = []
+    for c in range(num_classes):
+        gt_by_img: Dict[int, List[Tuple[np.ndarray, bool]]] = {}
+        for gi, (img, cls, box) in enumerate(ground_truth):
+            if cls == c:
+                gt_by_img.setdefault(img, []).append(
+                    (_np.asarray(box, _np.float64), bool(gt_in_bin[gi]))
+                )
+        npos = sum(in_bin for v in gt_by_img.values() for _, in_bin in v)
+        if npos == 0:
+            continue  # no in-bin GT for this class: excluded, not AP 0
+        dets = [(img, score, _np.asarray(box, _np.float64),
+                 bool(det_in_bin[di]))
+                for di, (img, cls, score, box) in enumerate(detections)
+                if cls == c]
+        dets.sort(key=lambda d: -d[1])
+        matched: Dict[int, np.ndarray] = {
+            img: _np.zeros(len(v), bool) for img, v in gt_by_img.items()
+        }
+        tp, fp = [], []
+        for img, score, box, in_bin in dets:
+            gts = gt_by_img.get(img)
+            if not gts:
+                if in_bin:
+                    tp.append(0.0)
+                    fp.append(1.0)
+                continue
+            overlaps = iou(box, _np.stack([g for g, _ in gts]))
+            cand = [j for j in range(len(gts))
+                    if overlaps[j] >= iou_thresh and not matched[img][j]]
+            # prefer the best non-ignored GT; fall back to ignored
+            live = [j for j in cand if gts[j][1]]
+            if live:
+                j = max(live, key=lambda j: overlaps[j])
+                matched[img][j] = True
+                tp.append(1.0)
+                fp.append(0.0)
+            elif cand:  # matched an out-of-bin GT: ignored, not an FP
+                j = max(cand, key=lambda j: overlaps[j])
+                matched[img][j] = True
+            elif in_bin:  # unmatched in-bin detection: FP
+                tp.append(0.0)
+                fp.append(1.0)
+            # unmatched out-of-bin detection: ignored
+        if not tp:
+            aps.append(0.0)
+            continue
+        ctp = _np.cumsum(tp)
+        cfp = _np.cumsum(fp)
+        recall = ctp / npos
+        precision = ctp / _np.maximum(ctp + cfp, 1e-10)
+        aps.append(voc_ap(recall, precision, eleven_point=False))
+    return float(_np.mean(aps)) if aps else float("nan")
+
+
 def compute_coco_map(
     detections: Sequence[Tuple[int, int, float, np.ndarray]],
     ground_truth: Sequence[Tuple[int, int, np.ndarray]],
@@ -123,8 +212,11 @@ def compute_coco_map(
     Returns ``coco_map`` = mean AP over IoU .50:.05:.95, plus ``ap50`` /
     ``ap75`` and size-binned ``ap_small`` / ``ap_medium`` / ``ap_large``
     (GT binned by area after ``box_scale``: pass the canvas pixel dim when
-    boxes are canvas-normalized; detections falling outside the bin are
-    ignored rather than counted as false positives, per COCO).
+    boxes are canvas-normalized). Size bins use COCO ignore semantics
+    (:func:`_binned_ap`): matching runs against all GT, detections matched
+    to out-of-bin GT are ignored (not false positives), unmatched
+    out-of-bin detections are ignored, and classes with no in-bin GT are
+    excluded from the bin mean.
 
     The reference had no evaluator at all (SURVEY.md §4) — this extends the
     VOC protocol for COCO-trained configs (BASELINE config 5).
@@ -147,16 +239,19 @@ def compute_coco_map(
         if abs(t - 0.75) < 1e-9:
             out["ap75"] = v
 
+    gt_areas = np.asarray([_area(g[2]) for g in ground_truth])
+    det_areas = np.asarray([_area(d[3]) for d in detections])
     for name, (lo, hi) in COCO_AREA_RANGES.items():
-        gt_bin = [g for g in ground_truth if lo <= _area(g[2]) < hi]
-        det_bin = [d for d in detections if lo <= _area(d[3]) < hi]
-        if not gt_bin:
+        gt_in = (gt_areas >= lo) & (gt_areas < hi) if len(gt_areas) else gt_areas.astype(bool)
+        det_in = (det_areas >= lo) & (det_areas < hi) if len(det_areas) else det_areas.astype(bool)
+        if not gt_in.any():
             out[f"ap_{name}"] = float("nan")
             continue
         vals = [
-            compute_map(det_bin, gt_bin, num_classes,
-                        iou_thresh=t, eleven_point=False)["map"]
+            _binned_ap(detections, ground_truth, num_classes,
+                       iou_thresh=t, gt_in_bin=gt_in, det_in_bin=det_in)
             for t in iou_thresholds
         ]
-        out[f"ap_{name}"] = float(np.mean(vals))
+        vals = [v for v in vals if not np.isnan(v)]
+        out[f"ap_{name}"] = float(np.mean(vals)) if vals else float("nan")
     return out
