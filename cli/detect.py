@@ -57,12 +57,14 @@ def build_detector(cfg, weights_path, calib_canvases=None):
         if calib_canvases:
             calib = jnp.asarray(np.stack(calib_canvases))
             log.info("int8 conv trunk enabled (calibrated on %d input "
-                     "images)", len(calib_canvases))
+                     "images, percentile %.4g)", len(calib_canvases),
+                     cfg.detect.calib_percentile)
         else:
             calib = jax.random.uniform(jax.random.PRNGKey(9),
                                        (8, dim, dim, 3), jnp.float32)
             log.warning("int8 calibration falling back to synthetic inputs")
-        qm = quantize_model(model, jax.device_get(params), calib)
+        qm = quantize_model(model, jax.device_get(params), calib,
+                            percentile=cfg.detect.calib_percentile)
     infer_fn = make_infer_fn(
         model, score_thresh=cfg.detect.threshold,
         iou_thresh=cfg.detect.nms_iou,
@@ -126,7 +128,7 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
         # Calibrate activation scales on the actual inputs (letterboxed the
         # same way the forward pass will see them) — real data, not noise.
         calib = []
-        for p in image_paths[:8]:
+        for p in image_paths[: max(cfg.detect.calib_images, 1)]:
             raw = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
             canvas, _ = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
             calib.append(canvas)
@@ -207,22 +209,15 @@ def run_stream(cfg, weights_path, out_dir=None, lines=None):
     if lines is None:
         lines = sys.stdin
     n = 0
-    for line in lines:
-        image_path = line.strip()
-        if not image_path:
-            continue
-        img = cv2.imread(image_path)
-        if img is None:
-            print(f"{os.path.basename(image_path)}: ERROR unreadable")
-            print(flush=True)
-            continue
-        raw = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        canvas, tf = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
-        if infer is None:
-            # lazy build: int8 calibrates on the first real frame
-            names, dim, infer = build_detector(
-                cfg, weights_path,
-                [canvas] if cfg.detect.use_int8 else None)
+    # int8 mode buffers the first N readable frames so activation scales
+    # are calibrated like the batched detect path (same calib_images knob)
+    # instead of on a single frame; results still print in input order.
+    calib_target = (max(cfg.detect.calib_images, 1)
+                    if cfg.detect.use_int8 else 1)
+    pending = []  # frames read before the detector exists
+
+    def process(image_path, raw, canvas, tf):
+        nonlocal n
         out = infer(jnp.asarray(canvas[None]))
         dets = _extract(out, 0, tf, raw.shape, names)
         for name, _, score, (x0, y0, x1, y1) in dets:
@@ -237,6 +232,35 @@ def run_stream(cfg, weights_path, out_dir=None, lines=None):
             if not cv2.imwrite(dst, _annotate(raw, dets)):
                 log.error("failed to write %s", dst)
         n += 1
+
+    def build_and_flush():
+        nonlocal names, dim, infer
+        names, dim, infer = build_detector(
+            cfg, weights_path,
+            [c for _, _, c, _ in pending] if cfg.detect.use_int8 else None)
+        for args in pending:
+            process(*args)
+        pending.clear()
+
+    for line in lines:
+        image_path = line.strip()
+        if not image_path:
+            continue
+        img = cv2.imread(image_path)
+        if img is None:
+            print(f"{os.path.basename(image_path)}: ERROR unreadable")
+            print(flush=True)
+            continue
+        raw = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        canvas, tf = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
+        if infer is None:
+            pending.append((image_path, raw, canvas, tf))
+            if len(pending) >= calib_target:
+                build_and_flush()
+            continue
+        process(image_path, raw, canvas, tf)
+    if pending:  # short stream: calibrate on what arrived
+        build_and_flush()
     log.info("stream done: %d images", n)
     return n
 

@@ -39,8 +39,11 @@ def main():
 
     dim = cfg.model.dim
     # Same serving stack as cli/detect.py (fold + optional stem fusion /
-    # int8 trunk, one jitted graph); int8 calibrates on the first frame.
+    # int8 trunk, one jitted graph); int8 buffers the first calib_images
+    # frames for activation calibration, like the batched detect path.
     names = infer = None
+    calib_target = (max(cfg.detect.calib_images, 1)
+                    if cfg.detect.use_int8 else 1)
 
     src = args.video if args.video else args.camera
     cap = cv2.VideoCapture(src)
@@ -49,9 +52,41 @@ def main():
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
     frames = 0
+    stop = False
+    pending = []  # frames captured before the detector exists
     t0 = time.perf_counter()
+
+    def process(frame, canvas, tf):
+        nonlocal frames, stop
+        out = infer(jnp.asarray(canvas[None]))
+        for name, cls, score, (x0, y0, x1, y1) in _extract(
+            out, 0, tf, frame.shape, names
+        ):
+            draw_detection(frame, int(x0), int(y0), int(x1), int(y1),
+                           f"{name} {score:.2f}", cls)
+        frames += 1
+        fps = frames / (time.perf_counter() - t0)
+        cv2.putText(frame, f"{fps:.1f} fps", (8, 20),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 255, 255), 2)
+        if args.out_dir:
+            cv2.imwrite(os.path.join(args.out_dir,
+                                     f"frame_{frames:06d}.png"), frame)
+        else:  # pragma: no cover (needs a display)
+            cv2.imshow("yolojax", frame)
+            if cv2.waitKey(1) & 0xFF == ord("q"):
+                stop = True
+
+    def build_and_flush():
+        nonlocal names, dim, infer
+        names, dim, infer = build_detector(
+            cfg, args.weights,
+            [c for _, c, _ in pending] if cfg.detect.use_int8 else None)
+        for item in pending:
+            process(*item)
+        pending.clear()
+
     try:
-        while True:
+        while not stop:
             ok, frame = cap.read()
             if not ok:
                 break
@@ -59,28 +94,15 @@ def main():
             canvas, tf = letterbox_host(rgb, dim,
                                         stretch=cfg.detect.stretch)
             if infer is None:
-                names, dim, infer = build_detector(
-                    cfg, args.weights,
-                    [canvas] if cfg.detect.use_int8 else None)
-            out = infer(jnp.asarray(canvas[None]))
-            for name, cls, score, (x0, y0, x1, y1) in _extract(
-                out, 0, tf, frame.shape, names
-            ):
-                draw_detection(frame, int(x0), int(y0), int(x1), int(y1),
-                               f"{name} {score:.2f}", cls)
-            frames += 1
-            fps = frames / (time.perf_counter() - t0)
-            cv2.putText(frame, f"{fps:.1f} fps", (8, 20),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, (0, 255, 255), 2)
-            if args.out_dir:
-                cv2.imwrite(os.path.join(args.out_dir,
-                                         f"frame_{frames:06d}.png"), frame)
-            else:  # pragma: no cover (needs a display)
-                cv2.imshow("yolojax", frame)
-                if cv2.waitKey(1) & 0xFF == ord("q"):
-                    break
-            if args.max_frames and frames >= args.max_frames:
+                pending.append((frame, canvas, tf))
+                if len(pending) >= calib_target:
+                    build_and_flush()
+            else:
+                process(frame, canvas, tf)
+            if args.max_frames and frames + len(pending) >= args.max_frames:
                 break
+        if pending:  # short capture: calibrate on what arrived
+            build_and_flush()
     finally:
         cap.release()
         if not args.out_dir:  # pragma: no cover

@@ -104,6 +104,9 @@ class DetectConfig:
     candidates: str = "auto"       # top-k select: auto|exact|approx
     stretch: bool = False          # plain resize instead of letterbox
     use_int8: bool = False         # post-training int8 conv trunk (v2 only)
+    calib_images: int = 8          # int8: images used for activation calib
+    calib_percentile: float = 100.0  # int8: |act| percentile for scales
+                                   # (100 = abs-max; e.g. 99.9 clips outliers)
     fuse_stem: str = "off"         # fused conv0+pool: off|auto|pallas|xla
 
 

@@ -68,6 +68,12 @@ def _allgather_shards(detections, ground_truth, num_images, n_proc):
     from jax.experimental import multihost_utils as mhu
 
     rank = jax.process_index()
+    # ids ride in float32 rows: above 2^24 integers lose precision and
+    # detection/GT grouping silently corrupts — fail loudly instead
+    assert num_images * n_proc < 2 ** 24, (
+        f"distributed eval id space {num_images} x {n_proc} processes "
+        f"exceeds float32 integer range (2^24); shard the eval set"
+    )
 
     def pack(rows, width):
         if rows:
@@ -124,6 +130,8 @@ def evaluate_model(
     fold: bool = True,
     fuse_stem_impl: str = "off",
     int8: bool = False,  # post-training int8 conv trunk (implies fold)
+    calib_images: int = 8,  # int8 activation-calibration image count
+    calib_percentile: float = 100.0,  # int8 |act| percentile (100 = absmax)
     max_detections: int = 0,  # cap kept detections per image (0 = no cap)
     coco: bool = False,  # add COCO-style AP@[.50:.95] + size bins
     data_parallel: Optional[bool] = None,  # None = auto (all local devices)
@@ -181,9 +189,16 @@ def evaluate_model(
 
         from yolojax.quantize.ptq import quantize_model
 
-        calib_imgs, _, _, _ = next(loader.epoch(0, shuffle=False))
+        want = max(calib_images, 1)
+        chunks = []
+        for imgs, _, _, _ in loader.epoch(0, shuffle=False):
+            chunks.append(np.asarray(imgs))
+            if sum(c.shape[0] for c in chunks) >= want:
+                break
+        calib_imgs = np.concatenate(chunks)[:want]
         qm = quantize_model(model, jax.device_get(params),
-                            jnp.asarray(calib_imgs[:8]))
+                            jnp.asarray(calib_imgs),
+                            percentile=calib_percentile)
         if mesh is not None:
             qm = _dc.replace(
                 qm, qparams=jax.device_put(qm.qparams, replicated(mesh)))
