@@ -80,9 +80,14 @@ def hsv_to_rgb(hsv: jax.Array) -> jax.Array:
 def _color_jitter(key: jax.Array, img: jax.Array, cfg: AugmentConfig):
     kh, ks, kv = jax.random.split(key, 3)
     dh = jax.random.uniform(kh, (), minval=-cfg.hue, maxval=cfg.hue)
-    log_s = jnp.log(jnp.asarray(cfg.saturation))
+    # saturation/exposure are multiplicative ranges sampled in [1/s, s]:
+    # 1 (or any value <= 0, a natural "off" typo in the INI) disables the
+    # jitter — log(0) would otherwise poison training with NaNs
+    sat = cfg.saturation if cfg.saturation > 0 else 1.0
+    exp_ = cfg.exposure if cfg.exposure > 0 else 1.0
+    log_s = jnp.log(jnp.asarray(sat))
     ds = jnp.exp(jax.random.uniform(ks, (), minval=-log_s, maxval=log_s))
-    log_v = jnp.log(jnp.asarray(cfg.exposure))
+    log_v = jnp.log(jnp.asarray(exp_))
     dv = jnp.exp(jax.random.uniform(kv, (), minval=-log_v, maxval=log_v))
     hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
     hsv = jnp.stack(

@@ -6,7 +6,9 @@ replacement for the reference's TFRecord reader + queue runners +
 C++-pool pipeline (yolojax/data/loader.py — measured in PERF.md); this
 module provides the same batch contract on top of ``grain.python``'s
 DataLoader for deployments that want Grain's multiprocess workers,
-determinism guarantees, and checkpointable iterators:
+determinism guarantees, and checkpointable iterators (``stream()`` exposes
+``get_state``/``set_state`` for exact mid-epoch resume — wired into
+cli/train.py's checkpoint cycle):
 
   images (B, canvas, canvas, 3) f32 [0,1], boxes (B, G, 4) xywh,
   classes (B, G) i32, valid (B, G) bool
@@ -50,6 +52,9 @@ class _IndexSource:
 
     def __getitem__(self, i):
         return int(i)
+
+    def __repr__(self):  # stable: grain validates repr() across restores
+        return f"_IndexSource(n={self._n})"
 
 
 if _gp is not None:
@@ -137,6 +142,63 @@ class GrainLoader:
 
     def __iter__(self):
         return self.epoch(0)
+
+    def stream(self, *, shuffle: bool = True) -> "CheckpointableStream":
+        """Infinite checkpointable batch stream (grain-native).
+
+        Unlike :meth:`epoch`, the sampler repeats forever
+        (``num_epochs=None``: grain reshuffles per epoch from the seed) and
+        the returned stream exposes grain's iterator checkpointing —
+        ``get_state() -> bytes`` / ``set_state(bytes)`` — so training can
+        resume EXACTLY mid-epoch instead of restarting at an epoch
+        boundary. cli/train.py saves this state next to each Orbax
+        checkpoint when ``[queue] loader = grain``.
+        """
+        gp = _gp
+        cfg = self.cfg
+        sampler = gp.IndexSampler(
+            num_records=len(self.cache),
+            shard_options=gp.ShardOptions(
+                shard_index=cfg.shard_index, shard_count=cfg.shard_count,
+                drop_remainder=cfg.drop_remainder,
+            ),
+            shuffle=shuffle,
+            num_epochs=None,
+            seed=cfg.seed,
+        )
+        loader = gp.DataLoader(
+            data_source=_IndexSource(len(self.cache)),
+            sampler=sampler,
+            operations=[
+                self._decode,
+                gp.Batch(batch_size=cfg.batch_size,
+                         drop_remainder=cfg.drop_remainder),
+            ],
+            worker_count=self._worker_count,
+        )
+        return CheckpointableStream(loader)
+
+
+class CheckpointableStream:
+    """Iterator over (images, boxes, classes, valid) numpy batches with
+    grain's save/restore state surface."""
+
+    def __init__(self, loader):
+        self._it = iter(loader)  # PyGrainDatasetIterator
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        imgs, boxes, cls, valid = next(self._it)
+        return (np.asarray(imgs), np.asarray(boxes),
+                np.asarray(cls), np.asarray(valid))
+
+    def get_state(self) -> bytes:
+        return self._it.get_state()
+
+    def set_state(self, state: bytes) -> None:
+        self._it.set_state(state)
 
 
 def make_loader(cache: DatasetCache, cfg: LoaderConfig, kind: str = "native"):
