@@ -42,7 +42,18 @@ def main():
 
     model = cfg.build_model()
     eval_dist = cfg.eval.distributed and multi_process
+
+    def _sync_done():
+        # Park every process on a barrier until the primary's (possibly
+        # long) eval finishes: an early jax.distributed shutdown on the
+        # non-primaries can trip the coordination-service heartbeat /
+        # shutdown-barrier timeout and abort the primary mid-eval.
+        from jax.experimental import multihost_utils as mhu
+
+        mhu.sync_global_devices("yolojax_eval_done")
+
     if multi_process and not eval_dist and jax.process_index() != 0:
+        _sync_done()
         return  # non-distributed eval has no collectives; primary-only
     params, bn_state = load_weights(args.weights, model, cfg.model.dim)
     params = jax.tree_util.tree_map(jnp.asarray, params)
@@ -64,10 +75,14 @@ def main():
         stretch=cfg.detect.stretch,
         max_detections=cfg.eval.max_detections,
         int8=cfg.detect.use_int8,
+        calib_images=cfg.detect.calib_images,
+        calib_percentile=cfg.detect.calib_percentile,
         coco=args.coco,
         data_parallel=cfg.eval.data_parallel_flag(),
         distributed=eval_dist,
     )
+    if multi_process and not eval_dist:
+        _sync_done()  # release the parked non-primary processes
     if multi_process and jax.process_index() != 0:
         return  # distributed metrics are identical everywhere; primary prints
     names = cfg.names()

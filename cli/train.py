@@ -180,7 +180,39 @@ def main():
         for epoch in itertools.count():
             yield from loader.epoch(epoch)
 
-    batch_iter = batches()
+    # Grain loader: use the checkpointable infinite stream so training
+    # resumes EXACTLY mid-epoch; its byte state is saved next to every
+    # Orbax checkpoint and restored by step number.
+    from yolojax.data.grain_loader import GrainLoader
+
+    grain_stream = loader.stream() if isinstance(loader, GrainLoader) else None
+    batch_iter = grain_stream if grain_stream is not None else batches()
+    loader_state_dir = os.path.join(logdir, "loader_state")
+
+    def save_loader_state(step):
+        if grain_stream is None:
+            return
+        os.makedirs(loader_state_dir, exist_ok=True)
+        with open(os.path.join(loader_state_dir, f"{int(step)}.bin"),
+                  "wb") as f:
+            f.write(grain_stream.get_state())
+        # prune alongside the checkpoint manager's max_to_keep
+        kept = sorted((int(os.path.splitext(p)[0])
+                       for p in os.listdir(loader_state_dir)
+                       if p.endswith(".bin")), reverse=True)
+        for old in kept[max(tcfg.keep_checkpoints, 1):]:
+            os.unlink(os.path.join(loader_state_dir, f"{old}.bin"))
+
+    if grain_stream is not None and start_step is not None:
+        state_path = os.path.join(loader_state_dir, f"{start_step}.bin")
+        if os.path.exists(state_path):
+            with open(state_path, "rb") as f:
+                grain_stream.set_state(f.read())
+            log.info("restored grain loader state for step %d", start_step)
+        else:
+            log.warning("no loader state for step %d; grain stream "
+                        "restarts from its seed", start_step)
+
     step0 = int(ts.step)
     log.info("training from step %d to %d", step0, tcfg.steps)
     profile_server = False
@@ -206,13 +238,21 @@ def main():
                 if tcfg.profile_steps and step_i == tcfg.profile_steps
                 else None
             )
+            # histogram steps use the with_grads step variant (an extra
+            # compiled executable that also returns the gradient tree)
+            want_grads = bool(tcfg.histogram_steps) and (
+                (step_i + 1) % tcfg.histogram_steps == 0
+            )
             with timer:
                 if trace_ctx:
                     with trace_ctx:
-                        ts, m = step_fn(ts, batch, rng, dim=dim)
+                        ts, m = step_fn(ts, batch, rng, dim=dim,
+                                        with_grads=want_grads)
                         jax.block_until_ready(m["total"])
                 else:
-                    ts, m = step_fn(ts, batch, rng, dim=dim)
+                    ts, m = step_fn(ts, batch, rng, dim=dim,
+                                    with_grads=want_grads)
+            grads = m.pop("grads", None)
             if is_primary and (step_i + 1) % tcfg.summary_steps == 0:
                 m_host = {k: float(v) for k, v in jax.device_get(m).items()}
                 imgs_per_sec = cfg.queue.batch_size / timer.last
@@ -252,12 +292,13 @@ def main():
                     forensic.wait()
                     forensic.close()
                     raise SystemExit(3)
-            if (is_primary or gather_all) and tcfg.histogram_steps and (
-                (step_i + 1) % tcfg.histogram_steps == 0
-            ):
+            if (is_primary or gather_all) and want_grads:
                 host_params = host_state(ts.params)
+                host_grads = host_state(grads)
                 if is_primary:
                     metrics_log.log_histograms(step_i + 1, host_params)
+                    metrics_log.log_histograms(step_i + 1, host_grads,
+                                               prefix="hist/grad/")
             # In-training eval. Default: PRIMARY process only, through a
             # process-local jit (no cross-host collectives, so the other
             # processes keep dispatching train steps; params are replicated,
@@ -276,6 +317,23 @@ def main():
                     val_cache = load_cache(cfg.cache.basedir, "val")
                 except FileNotFoundError:
                     val_cache = None
+                if eval_dist or gather_all:
+                    # host_state / distributed eval below are COLLECTIVES
+                    # entered by every process in this branch: agree on
+                    # val-cache availability first, or a partially-synced
+                    # filesystem deadlocks the job (some processes enter
+                    # the collective, others skip).
+                    from jax.experimental import multihost_utils as _mhu
+
+                    have = _mhu.process_allgather(
+                        np.asarray([val_cache is not None]))
+                    if not bool(have.all()):
+                        if val_cache is not None:
+                            log.warning(
+                                "val cache visible on this process but "
+                                "missing on others; skipping eval at step "
+                                "%d", step_i + 1)
+                        val_cache = None
                 if val_cache is not None:
                     from yolojax.eval.evaluator import evaluate_model
 
@@ -315,6 +373,7 @@ def main():
             # sync barrier and hundreds of MB of dead transfer otherwise.
             if ckpt.should_save(step_i + 1):
                 ckpt.save(step_i + 1, host_state(ts))
+                save_loader_state(step_i + 1)
     except KeyboardInterrupt:  # save before exiting (same restart contract)
         interrupted = True
         log.warning("interrupted at step %d; checkpointing", int(ts.step))
@@ -324,6 +383,7 @@ def main():
     final = int(jax.device_get(ts.step))
     if ckpt.latest_step() != final:
         ckpt.save(final, host_state(ts), force=True)
+        save_loader_state(final)
     ckpt.wait()
     if interrupted:
         raise SystemExit(130)

@@ -364,6 +364,20 @@ def test_17_train_with_grain_loader(workspace, monkeypatch, tmp_path):
     metrics = [json.loads(l)
                for l in open(tmp_path / "grainlog" / "yolo2_tiny" / "metrics.jsonl")]
     assert len(metrics) == 2 and np.isfinite(metrics[-1]["total"])
+    # grain iterator state saved next to the checkpoint (mid-epoch resume)
+    state_dir = tmp_path / "grainlog" / "yolo2_tiny" / "loader_state"
+    assert (state_dir / "2.bin").exists()
+    # resume restores the stream state and continues (step 3 logged once)
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/grainlog",
+        "train.steps=3",
+        "queue.loader=grain",
+    ], monkeypatch)
+    metrics = [json.loads(l)
+               for l in open(tmp_path / "grainlog" / "yolo2_tiny" / "metrics.jsonl")]
+    steps = [m["step"] for m in metrics]
+    assert steps.count(3) == 1 and steps.count(2) == 1
 
 
 def test_18_train_tensor_parallel_cli(workspace, monkeypatch, tmp_path):

@@ -233,3 +233,36 @@ def test_weight_decay_masks_bn_and_biases():
     assert not np.asarray(up["conv"]["b"]).any()
     assert not np.asarray(up["bn"]["scale"]).any()
     assert not np.asarray(up["bn"]["bias"]).any()
+
+
+def test_train_step_with_grads_returns_grad_tree(tmp_path):
+    """Gradient histogram path (SURVEY §2 summaries row "vars/grads"):
+    the with_grads step variant returns the full gradient tree, and
+    MetricsLogger emits hist/grad/... rows from it."""
+    import json
+
+    from yolojax.utils.metrics import MetricsLogger
+
+    model = micro_model()
+    tx = make_optimizer(OptimizerConfig(optimizer="sgd", learning_rate=1e-3))
+    ts = init_train_state(model, tx, jax.random.PRNGKey(0), 32)
+    step = make_train_step(model, tx, augment=False,
+                           compute_dtype=jnp.float32)
+    batch = _batch()
+    ts, m = step(ts, batch, jax.random.PRNGKey(1), dim=32)
+    assert "grads" not in m  # common path stays lean
+    ts, m = step(ts, batch, jax.random.PRNGKey(1), dim=32, with_grads=True)
+    grads = m.pop("grads")
+    assert set(grads) == set(ts.params)
+    assert float(jnp.abs(grads["conv_0"]["w"]).sum()) > 0
+
+    logger = MetricsLogger(str(tmp_path))
+    logger.log_histograms(5, jax.device_get(grads), prefix="hist/grad/")
+    logger.close()
+    rows = [json.loads(l) for l in
+            open(tmp_path / "metrics.jsonl").read().splitlines()]
+    keys = {k for r in rows for k in r}
+    assert any(k.startswith("hist/grad/conv_0/w") for k in keys), keys
+    (rec,) = rows
+    stats = rec["hist/grad/conv_0/w"]
+    assert stats["min"] <= stats["p50"] <= stats["max"]

@@ -156,8 +156,10 @@ def make_train_step(
             gt_xywh, gt_class, gt_valid, loss_cfg,
         )
 
-    @partial(jax.jit, static_argnames=("dim",), donate_argnums=(0,))
-    def train_step(ts: TrainState, batch, rng: jax.Array, dim: int):
+    @partial(jax.jit, static_argnames=("dim", "with_grads"),
+             donate_argnums=(0,))
+    def train_step(ts: TrainState, batch, rng: jax.Array, dim: int,
+                   with_grads: bool = False):
         images, gt_xywh, gt_class, gt_valid = batch
         rng = jax.random.fold_in(rng, ts.step)
         rng_aug, rng_drop = jax.random.split(rng)
@@ -192,6 +194,11 @@ def make_train_step(
         new_params = optax.apply_updates(ts.params, updates)
         metrics = {k: v for k, v in terms.items()}
         metrics["grad_norm"] = optax.global_norm(grads)
+        if with_grads:
+            # full gradient tree for histogram summaries (SURVEY §2
+            # "histograms of vars/grads"); a separate compiled variant so
+            # the common path never materializes this extra output
+            metrics["grads"] = grads
         return (
             TrainState(ts.step + 1, new_params, new_bn, new_opt),
             metrics,
