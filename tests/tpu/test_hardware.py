@@ -126,7 +126,10 @@ def test_detect_cli_on_chip(tpu_backend, tmp_path, monkeypatch):
     from yolojax.models import get_model
 
     jax = tpu_backend
-    model = get_model("yolo2", "tiny", num_classes=20)
+    # anchors must match the INI below: the head conv's channel count is
+    # len(anchors) * (5 + classes)
+    model = get_model("yolo2", "tiny", num_classes=20,
+                      anchors=((1.08, 1.19), (3.42, 4.41)))
     params, state = model.init(jax.random.PRNGKey(0), 64)
     weights = str(tmp_path / "w.npz")
     save_params_npz(weights, params, state)
