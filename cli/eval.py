@@ -98,6 +98,12 @@ def main():
               f"S/M/L: {metrics.get('ap_small', float('nan')):.3f}/"
               f"{metrics.get('ap_medium', float('nan')):.3f}/"
               f"{metrics.get('ap_large', float('nan')):.3f}")
+        print(f"COCO AR@1/10/100: {metrics.get('ar_1', float('nan')):.4f}/"
+              f"{metrics.get('ar_10', float('nan')):.4f}/"
+              f"{metrics.get('ar_100', float('nan')):.4f}  "
+              f"AR S/M/L: {metrics.get('ar_small', float('nan')):.3f}/"
+              f"{metrics.get('ar_medium', float('nan')):.3f}/"
+              f"{metrics.get('ar_large', float('nan')):.3f}")
     import math
 
     # strict JSON: NaN (empty size bin) -> null

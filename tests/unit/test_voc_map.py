@@ -191,3 +191,59 @@ def test_coco_bin_unmatched_out_of_bin_detection_ignored():
            (0, 0, 0.9, small)]
     m = compute_coco_map(det, gt, 1)
     assert m["ap_small"] == 1.0, m
+
+
+# ---------------------------------------------------------------------------
+# COCO Average Recall (AR@K + size bins), pycocotools semantics
+# ---------------------------------------------------------------------------
+
+
+def test_coco_ar_max_dets_cap():
+    from yolojax.eval.voc_map import compute_coco_map
+
+    # 3 GT in one image; detections rank a junk box FIRST, so AR@1 wastes
+    # the single slot while AR@10 recovers all three
+    g = [np.array([0, 0, 10, 10]), np.array([20, 20, 30, 30]),
+         np.array([40, 40, 50, 50])]
+    gt = [(0, 0, b) for b in g]
+    det = [(0, 0, 0.95, np.array([70.0, 70.0, 80.0, 80.0]))]  # junk, top score
+    det += [(0, 0, 0.9 - 0.1 * i, b) for i, b in enumerate(g)]
+    m = compute_coco_map(det, gt, 1)
+    assert np.isclose(m["ar_1"], 0.0), m["ar_1"]  # slot spent on junk
+    assert np.isclose(m["ar_10"], 1.0), m["ar_10"]
+    assert np.isclose(m["ar_100"], 1.0)
+
+
+def test_coco_ar_per_image_cap_not_global():
+    from yolojax.eval.voc_map import compute_coco_map
+
+    # one GT per image in two images: AR@1 keeps the best det of EACH image
+    gt = [(0, 0, np.array([0, 0, 10, 10])), (1, 0, np.array([0, 0, 10, 10]))]
+    det = [(0, 0, 0.9, np.array([0.0, 0.0, 10.0, 10.0])),
+           (1, 0, 0.2, np.array([0.0, 0.0, 10.0, 10.0]))]
+    m = compute_coco_map(det, gt, 1)
+    assert np.isclose(m["ar_1"], 1.0), m["ar_1"]
+
+
+def test_coco_ar_size_bins_ignore_out_of_bin_gt():
+    from yolojax.eval.voc_map import compute_coco_map
+
+    small = np.array([0.0, 0.0, 20.0, 20.0])       # 400 px^2
+    large = np.array([50.0, 50.0, 250.0, 250.0])   # 40000 px^2
+    gt = [(0, 0, small), (0, 0, large)]
+    det = [(0, 0, 0.9, small)]  # only the small GT is found
+    m = compute_coco_map(det, gt, 1)
+    assert np.isclose(m["ar_small"], 1.0), m  # large GT ignored in the bin
+    assert np.isclose(m["ar_large"], 0.0), m
+    assert np.isclose(m["ar_100"], 0.5), m    # unbinned: 1 of 2
+    assert np.isnan(m["ar_medium"])
+
+
+def test_coco_ar_absent_class_excluded():
+    from yolojax.eval.voc_map import compute_coco_map
+
+    gt = [(0, 0, np.array([0, 0, 10, 10]))]
+    det = [(0, 0, 0.9, np.array([0.0, 0.0, 10.0, 10.0])),
+           (0, 1, 0.95, np.array([20.0, 20.0, 30.0, 30.0]))]  # class 1: no GT
+    m = compute_coco_map(det, gt, 2)
+    assert np.isclose(m["ar_100"], 1.0), m

@@ -196,6 +196,71 @@ def _binned_ap(
     return float(_np.mean(aps)) if aps else float("nan")
 
 
+def _class_recall(
+    detections,
+    ground_truth,
+    cls: int,
+    *,
+    iou_thresh: float,
+    max_dets: int,
+    gt_in_bin=None,
+) -> float:
+    """Recall for one class at one IoU threshold with at most ``max_dets``
+    detections per image (COCO AR building block).
+
+    Matching follows pycocotools: detections (top ``max_dets`` per image by
+    score) greedily match unmatched GT in score order, preferring non-ignored
+    GT; ``gt_in_bin`` (index-aligned over ``ground_truth``) marks out-of-bin
+    GT as *ignored* — matches to them don't count, and they're excluded from
+    the denominator. Returns NaN when the class has no countable GT.
+    """
+    gt_by_img: Dict[int, List[Tuple[np.ndarray, bool]]] = {}
+    for gi, (img, c, box) in enumerate(ground_truth):
+        if c == cls:
+            counted = True if gt_in_bin is None else bool(gt_in_bin[gi])
+            gt_by_img.setdefault(img, []).append(
+                (np.asarray(box, np.float64), counted))
+    npos = sum(counted for v in gt_by_img.values() for _, counted in v)
+    if npos == 0:
+        return float("nan")
+
+    dets_by_img: Dict[int, List[Tuple[float, np.ndarray]]] = {}
+    for img, c, score, box in detections:
+        if c == cls:
+            dets_by_img.setdefault(img, []).append(
+                (float(score), np.asarray(box, np.float64)))
+
+    def iou(a, b):  # a: (4,), b: (M,4)
+        lo = np.maximum(a[:2], b[:, :2])
+        hi = np.minimum(a[2:], b[:, 2:])
+        inter = np.prod(np.maximum(hi - lo, 0), axis=1)
+        area_a = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
+        area_b = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(
+            b[:, 3] - b[:, 1], 0)
+        return inter / np.maximum(area_a + area_b - inter, 1e-10)
+
+    hit = 0
+    for img, gts in gt_by_img.items():
+        dets = sorted(dets_by_img.get(img, ()), key=lambda d: -d[0])
+        dets = dets[:max_dets]
+        if not dets:
+            continue
+        boxes = np.stack([g for g, _ in gts])
+        matched = np.zeros(len(gts), bool)
+        for score, box in dets:
+            overlaps = iou(box, boxes)
+            cand = [j for j in range(len(gts))
+                    if overlaps[j] >= iou_thresh and not matched[j]]
+            live = [j for j in cand if gts[j][1]]
+            if live:
+                j = max(live, key=lambda j: overlaps[j])
+                matched[j] = True
+                hit += 1
+            elif cand:  # best available is an ignored GT: consume, no credit
+                matched[max(cand, key=lambda j: overlaps[j])] = True
+    return hit / npos
+
+
 def compute_coco_map(
     detections: Sequence[Tuple[int, int, float, np.ndarray]],
     ground_truth: Sequence[Tuple[int, int, np.ndarray]],
@@ -210,7 +275,12 @@ def compute_coco_map(
     once per class, continuous interpolation).
 
     Returns ``coco_map`` = mean AP over IoU .50:.05:.95, plus ``ap50`` /
-    ``ap75`` and size-binned ``ap_small`` / ``ap_medium`` / ``ap_large``
+    ``ap75``, average recall ``ar_1`` / ``ar_10`` / ``ar_100`` (mean max
+    recall over the same IoU sweep with at most 1/10/100 detections per
+    image, pycocotools semantics via :func:`_class_recall`), size-binned
+    ``ar_small``/``ar_medium``/``ar_large`` (AR@100 over in-bin GT only,
+    out-of-bin GT ignored), and size-binned ``ap_small`` / ``ap_medium`` /
+    ``ap_large``
     (GT binned by area after ``box_scale``: pass the canvas pixel dim when
     boxes are canvas-normalized). Size bins use COCO ignore semantics
     (:func:`_binned_ap`): matching runs against all GT, detections matched
@@ -239,6 +309,21 @@ def compute_coco_map(
         if abs(t - 0.75) < 1e-9:
             out["ap75"] = v
 
+    def _mean_recall(max_dets: int, gt_in_bin=None) -> float:
+        per_cls = []
+        for c in range(num_classes):
+            vals = [_class_recall(detections, ground_truth, c,
+                                  iou_thresh=t, max_dets=max_dets,
+                                  gt_in_bin=gt_in_bin)
+                    for t in iou_thresholds]
+            vals = [v for v in vals if not np.isnan(v)]
+            if vals:  # class with countable GT
+                per_cls.append(float(np.mean(vals)))
+        return float(np.mean(per_cls)) if per_cls else float("nan")
+
+    for k in (1, 10, 100):
+        out[f"ar_{k}"] = _mean_recall(k)
+
     gt_areas = np.asarray([_area(g[2]) for g in ground_truth])
     det_areas = np.asarray([_area(d[3]) for d in detections])
     for name, (lo, hi) in COCO_AREA_RANGES.items():
@@ -246,6 +331,7 @@ def compute_coco_map(
         det_in = (det_areas >= lo) & (det_areas < hi) if len(det_areas) else det_areas.astype(bool)
         if not gt_in.any():
             out[f"ap_{name}"] = float("nan")
+            out[f"ar_{name}"] = float("nan")
             continue
         vals = [
             _binned_ap(detections, ground_truth, num_classes,
@@ -254,4 +340,5 @@ def compute_coco_map(
         ]
         vals = [v for v in vals if not np.isnan(v)]
         out[f"ap_{name}"] = float(np.mean(vals)) if vals else float("nan")
+        out[f"ar_{name}"] = _mean_recall(100, gt_in_bin=gt_in)
     return out
