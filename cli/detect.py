@@ -19,9 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from yolojax.utils.cli import make_parser, setup  # noqa: E402
 
 
-def build_detector(cfg, weights_path, calib_canvases=None):
-    """Load weights, fold BN (+ optional stem fusion / int8 trunk) and jit
-    the serving graph once. Returns (names, dim, infer(canvases) -> out).
+def build_serving(cfg, weights_path, calib_canvases=None):
+    """Build the serving stack without binding it to a call style: load
+    weights, fold BN (+ optional stem fusion / int8 trunk), jit the graph.
+    Returns (names, dim, infer_fn(params, bn_state, canvases), params,
+    bn_state) — consumed by :func:`build_detector` (interactive CLIs) and
+    ``cli/export.py`` (AOT artifact export).
 
     ``calib_canvases``: letterboxed input canvases for int8 activation
     calibration (real data; falls back with a warning when absent).
@@ -73,11 +76,45 @@ def build_detector(cfg, weights_path, calib_canvases=None):
         compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
         else jnp.bfloat16, qm=qm,
     )
+    return names, dim, infer_fn, params, bn_state
+
+
+def build_detector(cfg, weights_path, calib_canvases=None):
+    """Load weights and jit the serving graph once. Returns
+    (names, dim, infer(canvases) -> host dict)."""
+    import jax
+
+    names, dim, infer_fn, params, bn_state = build_serving(
+        cfg, weights_path, calib_canvases)
 
     def infer(canvases):
         return jax.device_get(infer_fn(params, bn_state, canvases))
 
     return names, dim, infer
+
+
+def load_artifact_detector(artifact_path):
+    """Serve from an AOT artifact (cli/export.py): names/dim/thresholds
+    come from the artifact header, the graph from its baked StableHLO —
+    no config model section or weight files needed. Returns
+    ((names, dim, infer(canvases) -> host dict, fixed_batch), meta)."""
+    import logging
+
+    import jax
+
+    from yolojax.serve import load_artifact
+
+    art = load_artifact(artifact_path)
+    logging.getLogger("detect").info(
+        "serving artifact: dim %d batch %d platforms %s (%d classes)",
+        art.meta["dim"], art.meta["batch"], art.meta["platforms"],
+        len(art.meta["names"]))
+
+    def infer(canvases):
+        return jax.device_get(art(canvases))
+
+    return (tuple(art.meta["names"]), int(art.meta["dim"]), infer,
+            int(art.meta["batch"])), art.meta
 
 
 def _extract(out, k, tf, raw_shape, names):
@@ -110,7 +147,8 @@ def _annotate(raw_rgb, dets):
     return img
 
 
-def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
+def run_detect(cfg, weights_path, image_paths, out_path=None, show=False,
+               detector=None):
     import logging
     import time
 
@@ -121,25 +159,30 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     from yolojax.data.augment import letterbox_host
 
     log = logging.getLogger("detect")
-    dim = cfg.model.dim
 
-    calib = None
-    if cfg.detect.use_int8:
-        # Calibrate activation scales on the actual inputs (letterboxed the
-        # same way the forward pass will see them) — real data, not noise.
-        calib = []
-        for p in image_paths[: max(cfg.detect.calib_images, 1)]:
-            raw = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-            canvas, _ = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
-            calib.append(canvas)
-    names, dim, infer = build_detector(cfg, weights_path, calib)
+    if detector is not None:  # AOT artifact: fixed batch, baked graph
+        names, dim, infer, batch = detector
+    else:
+        dim = cfg.model.dim
+        calib = None
+        if cfg.detect.use_int8:
+            # Calibrate activation scales on the actual inputs (letterboxed
+            # the same way the forward pass will see them) — real data, not
+            # noise.
+            calib = []
+            for p in image_paths[: max(cfg.detect.calib_images, 1)]:
+                raw = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+                canvas, _ = letterbox_host(raw, dim,
+                                           stretch=cfg.detect.stretch)
+                calib.append(canvas)
+        names, dim, infer = build_detector(cfg, weights_path, calib)
 
-    # Batched path: pad the image list up to a fixed batch so many-image
-    # detects compile once and ride the chip's batched throughput (the
-    # reference looped sess.run per image).
-    batch = 1 if len(image_paths) == 1 else min(
-        max(cfg.eval.batch_size, 1), 32
-    )
+        # Batched path: pad the image list up to a fixed batch so
+        # many-image detects compile once and ride the chip's batched
+        # throughput (the reference looped sess.run per image).
+        batch = 1 if len(image_paths) == 1 else min(
+            max(cfg.eval.batch_size, 1), 32
+        )
     results = []
     for start in range(0, len(image_paths), batch):
         group = image_paths[start : start + batch]
@@ -182,7 +225,7 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False):
     return results
 
 
-def run_stream(cfg, weights_path, out_dir=None, lines=None):
+def run_stream(cfg, weights_path, out_dir=None, lines=None, detector=None):
     """Serve detections over a stream of image paths (one per line).
 
     Weights load and the jit compile happen exactly once; every subsequent
@@ -204,6 +247,13 @@ def run_stream(cfg, weights_path, out_dir=None, lines=None):
     dim = cfg.model.dim
     names = None
     infer = None
+    if detector is not None:  # AOT artifact: graph + names already bound
+        names, dim, infer, art_batch = detector
+        if art_batch != 1:
+            raise SystemExit(
+                f"--stdin serves one image at a time; the artifact was "
+                f"exported with batch {art_batch} (re-export with "
+                f"--batch 1)")
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     if lines is None:
@@ -267,8 +317,13 @@ def run_stream(cfg, weights_path, out_dir=None, lines=None):
 
 def main():
     parser = make_parser(__doc__)
-    parser.add_argument("--weights", required=True,
+    parser.add_argument("--weights", default="",
                         help="npz / .weights / orbax dir / TF1 ckpt prefix")
+    parser.add_argument("--artifact", default="",
+                        help="AOT serving artifact from cli/export.py "
+                             "(replaces --weights and the [model] section: "
+                             "graph, weights, names and thresholds are "
+                             "baked in)")
     parser.add_argument("--image", action="append", default=[],
                         help="image path (repeatable)")
     parser.add_argument("--stdin", action="store_true",
@@ -281,10 +336,23 @@ def main():
     cfg = setup(args)
     if args.stdin and (args.image or args.show):
         parser.error("--stdin is exclusive with --image/--show")
+    if bool(args.weights) == bool(args.artifact):
+        parser.error("exactly one of --weights or --artifact is required")
+    detector = None
+    if args.artifact:
+        detector, meta = load_artifact_detector(args.artifact)
+        # the letterbox style must match what the graph was exported for
+        # (configs are frozen dataclasses: rebuild with the baked value)
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, detect=_dc.replace(
+            cfg.detect, stretch=bool(meta.get("stretch",
+                                              cfg.detect.stretch))))
     if args.stdin:
-        run_stream(cfg, args.weights, args.out or None)
+        run_stream(cfg, args.weights, args.out or None, detector=detector)
     elif args.image:
-        run_detect(cfg, args.weights, args.image, args.out or None, args.show)
+        run_detect(cfg, args.weights, args.image, args.out or None,
+                   args.show, detector=detector)
     else:
         parser.error("one of --image or --stdin is required")
 

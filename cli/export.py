@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Export an AOT serving artifact — the frozen-graph analogue, tpu-native.
+
+Builds the exact serving stack ``cli/detect.py`` uses (weight load, BN
+fold, optional stem fusion / int8 trunk, jitted forward + decode + top-K +
+NMS) and serializes it with ``jax.export``: weights baked in as StableHLO
+constants, class names / input dim / thresholds in the header. The
+artifact then serves via ``cli/detect.py --artifact model.yjsa`` on any
+host with a matching backend — no config [model] section, no weight
+files, no Python model code. The reference rebuilt its TF graph and
+restored a checkpoint on every invocation (SURVEY.md §3.3).
+
+Usage: python3 cli/export.py -c config.ini --weights W --out model.yjsa
+       [--batch N]                 fixed serving batch (default 1)
+       [--calib-image IMG ...]     int8 calibration inputs (with
+                                   detect.use_int8=1)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from yolojax.utils.cli import make_parser, setup  # noqa: E402
+
+
+def main():
+    parser = make_parser(__doc__)
+    parser.add_argument("--weights", required=True,
+                        help="npz / .weights / orbax dir / TF1 ckpt prefix")
+    parser.add_argument("--out", required=True,
+                        help="artifact output path (suggest .yjsa)")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="fixed serving batch size baked into the "
+                             "artifact (default 1; --stdin serving needs 1)")
+    parser.add_argument("--calib-image", action="append", default=[],
+                        help="calibration image for the int8 trunk "
+                             "(repeatable; used with detect.use_int8=1)")
+    args = parser.parse_args()
+    cfg = setup(args)
+    if args.batch < 1:
+        parser.error("--batch must be >= 1")
+
+    import logging
+
+    from cli.detect import build_serving
+    from yolojax.serve import save_artifact
+
+    log = logging.getLogger("export")
+
+    calib = None
+    if cfg.detect.use_int8 and args.calib_image:
+        import cv2
+
+        from yolojax.data.augment import letterbox_host
+
+        calib = []
+        for p in args.calib_image[: max(cfg.detect.calib_images, 1)]:
+            raw = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+            canvas, _ = letterbox_host(raw, cfg.model.dim,
+                                       stretch=cfg.detect.stretch)
+            calib.append(canvas)
+
+    names, dim, infer_fn, params, bn_state = build_serving(
+        cfg, args.weights, calib)
+    meta = save_artifact(
+        args.out, infer_fn, params, bn_state, batch=args.batch, dim=dim,
+        meta={
+            "names": list(names),
+            "model": f"{cfg.model.model}/{cfg.model.inference}",
+            "threshold": cfg.detect.threshold,
+            "nms_iou": cfg.detect.nms_iou,
+            "top_k": cfg.detect.top_k,
+            "stretch": bool(cfg.detect.stretch),
+            "int8": bool(cfg.detect.use_int8),
+        },
+    )
+    log.info("exported %s: %s dim %d batch %d platforms %s (%.1f MB)",
+             args.out, meta["model"], meta["dim"], meta["batch"],
+             meta["platforms"], meta["payload_bytes"] / 1e6)
+    print(f"{args.out}: {meta['model']} dim={meta['dim']} "
+          f"batch={meta['batch']} platforms={','.join(meta['platforms'])} "
+          f"{meta['payload_bytes'] / 1e6:.1f} MB")
+
+
+if __name__ == "__main__":
+    main()

@@ -580,3 +580,59 @@ def test_26_keep_checkpoints_knob(workspace, monkeypatch, tmp_path):
     ckpt_dir = tmp_path / "keeplog" / "yolo2_tiny" / "ckpt"
     steps = [d for d in os.listdir(ckpt_dir) if d.isdigit()]
     assert steps == ["3"], steps
+
+
+def test_27_export_artifact_and_serve(workspace, monkeypatch, capsys,
+                                      tmp_path):
+    """AOT serving artifact (cli/export.py): detections served from the
+    baked StableHLO graph must match the --weights path exactly, for both
+    the batched detect and --stdin stream surfaces."""
+    _ensure_prereqs(workspace, monkeypatch)
+    imgs = [str(workspace / "voc" / "JPEGImages" / f"00000{i}.jpg")
+            for i in range(2)]
+    art = str(tmp_path / "model.yjsa")
+    # thresholds are BAKED into the exported graph: pass the same override
+    # the --weights comparison run uses
+    _run("cli.export", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--out", art, "--batch", "1", "detect.threshold=0.0001",
+    ], monkeypatch)
+    head = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "platforms=cpu" in head and "batch=1" in head
+    assert os.path.getsize(art) > 1e6  # weights are baked in
+
+    def detect(extra):
+        _run("cli.detect", [
+            "-c", str(workspace / "test.ini"), *extra,
+            "--image", imgs[0], "--image", imgs[1],
+            "detect.threshold=0.0001", "eval.batch_size=1",
+        ], monkeypatch)
+        return sorted(l for l in capsys.readouterr().out.splitlines()
+                      if ": " in l)
+
+    want = detect(["--weights", str(workspace / "logdir" / "yolo2_tiny")])
+    got = detect(["--artifact", art])
+    assert want and got == want
+
+    # stream surface from the artifact (no [model]/weights needed)
+    import io
+
+    from cli.detect import load_artifact_detector, run_stream
+    from yolojax.config import YoloJaxConfig
+
+    detector, meta = load_artifact_detector(art)
+    assert meta["names"][0] == "aeroplane" and meta["batch"] == 1
+    n = run_stream(YoloJaxConfig(), "", lines=io.StringIO(imgs[0] + "\n"),
+                   detector=detector)
+    assert n == 1
+    stream_out = [l for l in capsys.readouterr().out.splitlines()
+                  if ": " in l]
+    assert stream_out  # same graph, same detections on image 0
+    assert set(stream_out) <= set(want)
+
+    # error paths: bad magic, wrong batch for --stdin
+    bad = tmp_path / "bad.yjsa"
+    bad.write_bytes(b"not an artifact")
+    with pytest.raises(ValueError, match="bad magic"):
+        load_artifact_detector(str(bad))
