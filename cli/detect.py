@@ -264,6 +264,13 @@ def run_stream(cfg, weights_path, out_dir=None, lines=None, detector=None):
     # instead of on a single frame; results still print in input order.
     calib_target = (max(cfg.detect.calib_images, 1)
                     if cfg.detect.use_int8 else 1)
+    if calib_target > 1:
+        # nothing prints until N paths arrive (or stdin closes): a
+        # request/response client that waits for each block would hang
+        log.warning(
+            "int8 serving buffers the first %d frames for activation "
+            "calibration before responding; set detect.calib_images=1 "
+            "for interactive one-request-at-a-time clients", calib_target)
     pending = []  # frames read before the detector exists
 
     def process(image_path, raw, canvas, tf):

@@ -4,6 +4,7 @@
 OpenCV capture loop.
 
 Usage: python3 cli/detect_camera.py -c config.ini --weights W [--camera 0]
+       ... --artifact model.yjsa   # serve an AOT artifact (cli/export.py)
 """
 
 import os
@@ -16,7 +17,10 @@ from yolojax.utils.cli import make_parser, setup  # noqa: E402
 
 def main():
     parser = make_parser(__doc__)
-    parser.add_argument("--weights", required=True)
+    parser.add_argument("--weights", default="")
+    parser.add_argument("--artifact", default="",
+                        help="AOT serving artifact from cli/export.py "
+                             "(replaces --weights; batch-1 export)")
     parser.add_argument("--camera", type=int, default=0)
     parser.add_argument("--max-frames", type=int, default=0,
                         help="stop after N frames (0 = until q pressed)")
@@ -33,10 +37,12 @@ def main():
     import cv2
     import jax.numpy as jnp
 
-    from cli.detect import _extract, build_detector
+    from cli.detect import _extract, build_detector, load_artifact_detector
     from yolojax.data.augment import letterbox_host
     from yolojax.utils.draw import draw_detection
 
+    if bool(args.weights) == bool(args.artifact):
+        parser.error("exactly one of --weights or --artifact is required")
     dim = cfg.model.dim
     # Same serving stack as cli/detect.py (fold + optional stem fusion /
     # int8 trunk, one jitted graph); int8 buffers the first calib_images
@@ -44,6 +50,20 @@ def main():
     names = infer = None
     calib_target = (max(cfg.detect.calib_images, 1)
                     if cfg.detect.use_int8 else 1)
+    if args.artifact:  # AOT artifact: graph + names bound before capture
+        (names, dim, infer, art_batch), art_meta = load_artifact_detector(
+            args.artifact)
+        # the letterbox style must match what the graph was exported for
+        import dataclasses as _dc
+
+        cfg = _dc.replace(cfg, detect=_dc.replace(
+            cfg.detect, stretch=bool(art_meta.get("stretch",
+                                                  cfg.detect.stretch))))
+        if art_batch != 1:
+            raise SystemExit(
+                f"camera serving is frame-at-a-time; the artifact was "
+                f"exported with batch {art_batch} (re-export with "
+                f"--batch 1)")
 
     src = args.video if args.video else args.camera
     cap = cv2.VideoCapture(src)

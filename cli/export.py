@@ -36,10 +36,22 @@ def main():
     parser.add_argument("--calib-image", action="append", default=[],
                         help="calibration image for the int8 trunk "
                              "(repeatable; used with detect.use_int8=1)")
+    parser.add_argument("--allow-synthetic-calib", action="store_true",
+                        help="permit int8 export without --calib-image "
+                             "(activation scales calibrated on noise — "
+                             "degraded accuracy baked into the artifact)")
     args = parser.parse_args()
     cfg = setup(args)
     if args.batch < 1:
         parser.error("--batch must be >= 1")
+    if (cfg.detect.use_int8 and not args.calib_image
+            and not args.allow_synthetic_calib):
+        # unlike the live detect CLI (a per-run fallback), export freezes
+        # the calibration into the shipped artifact forever
+        parser.error(
+            "int8 export requires --calib-image (repeatable) so the baked "
+            "activation scales come from real data; pass "
+            "--allow-synthetic-calib to override")
 
     import logging
 

@@ -188,25 +188,31 @@ def main():
     grain_stream = loader.stream() if isinstance(loader, GrainLoader) else None
     batch_iter = grain_stream if grain_stream is not None else batches()
     loader_state_dir = os.path.join(logdir, "loader_state")
+    # each process streams its OWN grain shard (shard_index=process_index):
+    # state files are per-process, or a shared logdir would make every
+    # process clobber one file and resume replaying the same shard
+    _proc = jax.process_index()
+
+    def _state_path(step):
+        return os.path.join(loader_state_dir, f"{int(step)}.p{_proc}.bin")
 
     def save_loader_state(step):
         if grain_stream is None:
             return
         os.makedirs(loader_state_dir, exist_ok=True)
-        with open(os.path.join(loader_state_dir, f"{int(step)}.bin"),
-                  "wb") as f:
+        with open(_state_path(step), "wb") as f:
             f.write(grain_stream.get_state())
         # prune alongside the checkpoint manager's max_to_keep
-        kept = sorted((int(os.path.splitext(p)[0])
+        suffix = f".p{_proc}.bin"
+        kept = sorted((int(p[: -len(suffix)])
                        for p in os.listdir(loader_state_dir)
-                       if p.endswith(".bin")), reverse=True)
+                       if p.endswith(suffix)), reverse=True)
         for old in kept[max(tcfg.keep_checkpoints, 1):]:
-            os.unlink(os.path.join(loader_state_dir, f"{old}.bin"))
+            os.unlink(_state_path(old))
 
     if grain_stream is not None and start_step is not None:
-        state_path = os.path.join(loader_state_dir, f"{start_step}.bin")
-        if os.path.exists(state_path):
-            with open(state_path, "rb") as f:
+        if os.path.exists(_state_path(start_step)):
+            with open(_state_path(start_step), "rb") as f:
                 grain_stream.set_state(f.read())
             log.info("restored grain loader state for step %d", start_step)
         else:

@@ -355,6 +355,7 @@ def test_16_in_training_eval(workspace, monkeypatch, tmp_path):
 def test_17_train_with_grain_loader(workspace, monkeypatch, tmp_path):
     """[queue] loader = grain drives the same training loop (SURVEY §2's
     named Grain input pipeline as a first-class alternative)."""
+    _ensure_prereqs(workspace, monkeypatch)
     _run("cli.train", [
         "-c", str(workspace / "test.ini"),
         f"train.logdir={tmp_path}/grainlog",
@@ -366,7 +367,7 @@ def test_17_train_with_grain_loader(workspace, monkeypatch, tmp_path):
     assert len(metrics) == 2 and np.isfinite(metrics[-1]["total"])
     # grain iterator state saved next to the checkpoint (mid-epoch resume)
     state_dir = tmp_path / "grainlog" / "yolo2_tiny" / "loader_state"
-    assert (state_dir / "2.bin").exists()
+    assert (state_dir / "2.p0.bin").exists()  # per-process state files
     # resume restores the stream state and continues (step 3 logged once)
     _run("cli.train", [
         "-c", str(workspace / "test.ini"),
@@ -636,3 +637,32 @@ def test_27_export_artifact_and_serve(workspace, monkeypatch, capsys,
     bad.write_bytes(b"not an artifact")
     with pytest.raises(ValueError, match="bad magic"):
         load_artifact_detector(str(bad))
+
+
+def test_28_detect_camera_from_artifact(workspace, monkeypatch, tmp_path,
+                                        capsys):
+    """Camera CLI serving from an AOT artifact (no weights / [model])."""
+    _ensure_prereqs(workspace, monkeypatch)
+    import cv2
+
+    art = str(tmp_path / "cam.yjsa")
+    _run("cli.export", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--out", art, "--batch", "1", "detect.threshold=0.0001",
+    ], monkeypatch)
+    capsys.readouterr()
+
+    video = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(video, cv2.VideoWriter_fourcc(*"MJPG"), 5, (96, 64))
+    rng = np.random.RandomState(0)
+    for _ in range(3):
+        w.write(rng.randint(0, 255, (64, 96, 3), np.uint8))
+    w.release()
+
+    out_dir = str(tmp_path / "frames")
+    _run("cli.detect_camera", [
+        "-c", str(workspace / "test.ini"), "--artifact", art,
+        "--video", video, "--out-dir", out_dir, "--max-frames", "2",
+    ], monkeypatch)
+    assert len(os.listdir(out_dir)) == 2

@@ -53,6 +53,11 @@ def _env():
     # stay within the deadline even when the suite has bloated the host
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["JAX_PLATFORMS"] = "cpu"
+    # JAX_PLATFORMS in the env is applied at import time and loses to a
+    # site-hook that pins a remote-accelerator plugin; YOLOJAX_PLATFORM
+    # makes the CLI pin the platform via jax.config BEFORE backend init,
+    # so the subprocess can never block on an unreachable accelerator
+    env["YOLOJAX_PLATFORM"] = "cpu"
     return env
 
 

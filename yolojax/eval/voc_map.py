@@ -33,6 +33,17 @@ def voc_ap(recall: np.ndarray, precision: np.ndarray,
     return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
 
 
+def _iou_one_to_many(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """IoU of one corner box ``a`` (4,) against M boxes ``b`` (M, 4)."""
+    lo = np.maximum(a[:2], b[:, :2])
+    hi = np.minimum(a[2:], b[:, 2:])
+    inter = np.prod(np.maximum(hi - lo, 0), axis=1)
+    area_a = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
+    area_b = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(
+        b[:, 3] - b[:, 1], 0)
+    return inter / np.maximum(area_a + area_b - inter, 1e-10)
+
+
 def compute_map(
     detections: Sequence[Tuple[int, int, float, np.ndarray]],
     ground_truth: Sequence[Tuple[int, int, np.ndarray]],
@@ -54,15 +65,7 @@ def compute_map(
     synthetic sets.
     """
 
-    def iou(a, b):  # a: (4,), b: (M,4)
-        lo = np.maximum(a[:2], b[:, :2])
-        hi = np.minimum(a[2:], b[:, 2:])
-        inter = np.prod(np.maximum(hi - lo, 0), axis=1)
-        area_a = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
-        area_b = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(
-            b[:, 3] - b[:, 1], 0
-        )
-        return inter / np.maximum(area_a + area_b - inter, 1e-10)
+    iou = _iou_one_to_many
 
     aps = {}
     for c in range(num_classes):
@@ -111,154 +114,163 @@ COCO_AREA_RANGES = {
 }
 
 
-def _binned_ap(
-    detections,
-    ground_truth,
-    num_classes: int,
+class _ClassIndex:
+    """Per-class, per-image grouping of detections/GT with cached IoU
+    matrices — built ONCE per :func:`compute_coco_map` call so the AR and
+    size-bin sweeps (6 surfaces x 10 IoU thresholds) re-run only the cheap
+    greedy matching, not full-list scans and IoU recomputation
+    (the naive form was O(surfaces x classes x thresholds x (D+G)))."""
+
+    def __init__(self, detections, ground_truth, num_classes: int):
+        self.num_classes = num_classes
+        # class -> img -> [gi...] / [(score, di)... sorted desc]
+        self.gt_rows: List[Dict[int, List[int]]] = [
+            {} for _ in range(num_classes)]
+        det_rows: List[Dict[int, List[Tuple[float, int]]]] = [
+            {} for _ in range(num_classes)]
+        for gi, (img, cls, _) in enumerate(ground_truth):
+            if 0 <= cls < num_classes:
+                self.gt_rows[cls].setdefault(img, []).append(gi)
+        for di, (img, cls, score, _) in enumerate(detections):
+            if 0 <= cls < num_classes:
+                det_rows[cls].setdefault(img, []).append((float(score), di))
+        gt_boxes = [np.asarray(g[2], np.float64) for g in ground_truth]
+        det_boxes = [np.asarray(d[3], np.float64) for d in detections]
+        # per class/img: det rows sorted by score desc, cached IoU (D, G)
+        self.dets: List[Dict[int, List[Tuple[float, int]]]] = det_rows
+        self.ious: List[Dict[int, np.ndarray]] = [
+            {} for _ in range(num_classes)]
+        for c in range(num_classes):
+            for img, rows in det_rows[c].items():
+                rows.sort(key=lambda r: -r[0])
+                gis = self.gt_rows[c].get(img)
+                if gis:
+                    gmat = np.stack([gt_boxes[gi] for gi in gis])
+                    self.ious[c][img] = np.stack(
+                        [_iou_one_to_many(det_boxes[di], gmat)
+                         for _, di in rows])
+
+    def gt_flags(self, c: int, img: int, gt_in_bin) -> np.ndarray:
+        gis = self.gt_rows[c][img]
+        if gt_in_bin is None:
+            return np.ones(len(gis), bool)
+        return np.asarray([bool(gt_in_bin[gi]) for gi in gis])
+
+
+def _binned_aps(
+    index: _ClassIndex,
+    iou_thresholds,
     *,
-    iou_thresh: float,
     gt_in_bin,
     det_in_bin,
-) -> float:
-    """One size-bin AP at one IoU threshold with COCO ignore semantics.
+) -> List[float]:
+    """Size-bin AP per IoU threshold with COCO ignore semantics.
 
     Matching runs against ALL ground truth; out-of-bin GT is *ignored*
     rather than removed: a detection matched to an ignored GT is neither a
     TP nor an FP, and an unmatched detection whose own area is out-of-bin
     is ignored rather than an FP. Classes with no in-bin GT are excluded
     from the bin mean (COCO's -1 cells). ``gt_in_bin`` / ``det_in_bin``
-    are index-aligned bool arrays over the input sequences.
+    are index-aligned bool arrays over the original input sequences.
     """
-    import numpy as _np
-
-    def iou(a, b):  # a: (4,), b: (M,4)
-        lo = _np.maximum(a[:2], b[:, :2])
-        hi = _np.minimum(a[2:], b[:, 2:])
-        inter = _np.prod(_np.maximum(hi - lo, 0), axis=1)
-        area_a = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
-        area_b = _np.maximum(b[:, 2] - b[:, 0], 0) * _np.maximum(
-            b[:, 3] - b[:, 1], 0
-        )
-        return inter / _np.maximum(area_a + area_b - inter, 1e-10)
-
-    aps: List[float] = []
-    for c in range(num_classes):
-        gt_by_img: Dict[int, List[Tuple[np.ndarray, bool]]] = {}
-        for gi, (img, cls, box) in enumerate(ground_truth):
-            if cls == c:
-                gt_by_img.setdefault(img, []).append(
-                    (_np.asarray(box, _np.float64), bool(gt_in_bin[gi]))
-                )
-        npos = sum(in_bin for v in gt_by_img.values() for _, in_bin in v)
+    per_t: List[List[float]] = [[] for _ in iou_thresholds]
+    for c in range(index.num_classes):
+        npos = sum(
+            bool(gt_in_bin[gi])
+            for gis in index.gt_rows[c].values() for gi in gis)
         if npos == 0:
             continue  # no in-bin GT for this class: excluded, not AP 0
-        dets = [(img, score, _np.asarray(box, _np.float64),
-                 bool(det_in_bin[di]))
-                for di, (img, cls, score, box) in enumerate(detections)
-                if cls == c]
-        dets.sort(key=lambda d: -d[1])
-        matched: Dict[int, np.ndarray] = {
-            img: _np.zeros(len(v), bool) for img, v in gt_by_img.items()
-        }
-        tp, fp = [], []
-        for img, score, box, in_bin in dets:
-            gts = gt_by_img.get(img)
-            if not gts:
-                if in_bin:
+        flags = {img: index.gt_flags(c, img, gt_in_bin)
+                 for img in index.gt_rows[c]}
+        # global score order across images for the PR sweep
+        order = sorted(
+            ((score, img, row, di)
+             for img, rows in index.dets[c].items()
+             for row, (score, di) in enumerate(rows)),
+            key=lambda r: -r[0])
+        for ti, t in enumerate(iou_thresholds):
+            matched = {img: np.zeros(len(gis), bool)
+                       for img, gis in index.gt_rows[c].items()}
+            tp, fp = [], []
+            for score, img, row, di in order:
+                in_bin = bool(det_in_bin[di])
+                overlaps = index.ious[c].get(img)
+                if overlaps is None:  # image has no GT of this class
+                    if in_bin:
+                        tp.append(0.0)
+                        fp.append(1.0)
+                    continue
+                ov = overlaps[row]
+                cand = np.where((ov >= t) & ~matched[img])[0]
+                live = cand[flags[img][cand]]
+                if live.size:  # prefer the best non-ignored GT
+                    j = live[np.argmax(ov[live])]
+                    matched[img][j] = True
+                    tp.append(1.0)
+                    fp.append(0.0)
+                elif cand.size:  # matched an out-of-bin GT: ignored, no FP
+                    matched[img][cand[np.argmax(ov[cand])]] = True
+                elif in_bin:  # unmatched in-bin detection: FP
                     tp.append(0.0)
                     fp.append(1.0)
+                # unmatched out-of-bin detection: ignored
+            if not tp:
+                per_t[ti].append(0.0)
                 continue
-            overlaps = iou(box, _np.stack([g for g, _ in gts]))
-            cand = [j for j in range(len(gts))
-                    if overlaps[j] >= iou_thresh and not matched[img][j]]
-            # prefer the best non-ignored GT; fall back to ignored
-            live = [j for j in cand if gts[j][1]]
-            if live:
-                j = max(live, key=lambda j: overlaps[j])
-                matched[img][j] = True
-                tp.append(1.0)
-                fp.append(0.0)
-            elif cand:  # matched an out-of-bin GT: ignored, not an FP
-                j = max(cand, key=lambda j: overlaps[j])
-                matched[img][j] = True
-            elif in_bin:  # unmatched in-bin detection: FP
-                tp.append(0.0)
-                fp.append(1.0)
-            # unmatched out-of-bin detection: ignored
-        if not tp:
-            aps.append(0.0)
-            continue
-        ctp = _np.cumsum(tp)
-        cfp = _np.cumsum(fp)
-        recall = ctp / npos
-        precision = ctp / _np.maximum(ctp + cfp, 1e-10)
-        aps.append(voc_ap(recall, precision, eleven_point=False))
-    return float(_np.mean(aps)) if aps else float("nan")
+            ctp = np.cumsum(tp)
+            cfp = np.cumsum(fp)
+            recall = ctp / npos
+            precision = ctp / np.maximum(ctp + cfp, 1e-10)
+            per_t[ti].append(voc_ap(recall, precision, eleven_point=False))
+    return [float(np.mean(v)) if v else float("nan") for v in per_t]
 
 
-def _class_recall(
-    detections,
-    ground_truth,
+def _class_recalls(
+    index: _ClassIndex,
     cls: int,
+    iou_thresholds,
     *,
-    iou_thresh: float,
     max_dets: int,
     gt_in_bin=None,
-) -> float:
-    """Recall for one class at one IoU threshold with at most ``max_dets``
+) -> List[float]:
+    """Recall per IoU threshold for one class with at most ``max_dets``
     detections per image (COCO AR building block).
 
     Matching follows pycocotools: detections (top ``max_dets`` per image by
-    score) greedily match unmatched GT in score order, preferring non-ignored
-    GT; ``gt_in_bin`` (index-aligned over ``ground_truth``) marks out-of-bin
-    GT as *ignored* — matches to them don't count, and they're excluded from
-    the denominator. Returns NaN when the class has no countable GT.
+    score) greedily match unmatched GT in score order, preferring
+    non-ignored GT; ``gt_in_bin`` marks out-of-bin GT as *ignored* —
+    matches to them don't count, and they're excluded from the
+    denominator. Returns NaNs when the class has no countable GT.
     """
-    gt_by_img: Dict[int, List[Tuple[np.ndarray, bool]]] = {}
-    for gi, (img, c, box) in enumerate(ground_truth):
-        if c == cls:
-            counted = True if gt_in_bin is None else bool(gt_in_bin[gi])
-            gt_by_img.setdefault(img, []).append(
-                (np.asarray(box, np.float64), counted))
-    npos = sum(counted for v in gt_by_img.values() for _, counted in v)
+    npos = sum(
+        (True if gt_in_bin is None else bool(gt_in_bin[gi]))
+        for gis in index.gt_rows[cls].values() for gi in gis)
     if npos == 0:
-        return float("nan")
-
-    dets_by_img: Dict[int, List[Tuple[float, np.ndarray]]] = {}
-    for img, c, score, box in detections:
-        if c == cls:
-            dets_by_img.setdefault(img, []).append(
-                (float(score), np.asarray(box, np.float64)))
-
-    def iou(a, b):  # a: (4,), b: (M,4)
-        lo = np.maximum(a[:2], b[:, :2])
-        hi = np.minimum(a[2:], b[:, 2:])
-        inter = np.prod(np.maximum(hi - lo, 0), axis=1)
-        area_a = max(a[2] - a[0], 0) * max(a[3] - a[1], 0)
-        area_b = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(
-            b[:, 3] - b[:, 1], 0)
-        return inter / np.maximum(area_a + area_b - inter, 1e-10)
-
-    hit = 0
-    for img, gts in gt_by_img.items():
-        dets = sorted(dets_by_img.get(img, ()), key=lambda d: -d[0])
-        dets = dets[:max_dets]
-        if not dets:
-            continue
-        boxes = np.stack([g for g, _ in gts])
-        matched = np.zeros(len(gts), bool)
-        for score, box in dets:
-            overlaps = iou(box, boxes)
-            cand = [j for j in range(len(gts))
-                    if overlaps[j] >= iou_thresh and not matched[j]]
-            live = [j for j in cand if gts[j][1]]
-            if live:
-                j = max(live, key=lambda j: overlaps[j])
-                matched[j] = True
-                hit += 1
-            elif cand:  # best available is an ignored GT: consume, no credit
-                matched[max(cand, key=lambda j: overlaps[j])] = True
-    return hit / npos
+        return [float("nan")] * len(iou_thresholds)
+    per_img = []  # (capped IoU matrix, countable flags)
+    for img in index.gt_rows[cls]:
+        overlaps = index.ious[cls].get(img)
+        if overlaps is None or not overlaps.size:
+            continue  # no detections of this class in the image
+        per_img.append((overlaps[:max_dets],
+                        index.gt_flags(cls, img, gt_in_bin)))
+    out = []
+    for t in iou_thresholds:
+        hit = 0
+        for overlaps, flags in per_img:
+            matched = np.zeros(overlaps.shape[1], bool)
+            for ov in overlaps:  # rows already in score order
+                cand = np.where((ov >= t) & ~matched)[0]
+                if not cand.size:
+                    continue
+                live = cand[flags[cand]]
+                if live.size:
+                    matched[live[np.argmax(ov[live])]] = True
+                    hit += 1
+                else:  # best available is an ignored GT: consume, no credit
+                    matched[cand[np.argmax(ov[cand])]] = True
+        out.append(hit / npos)
+    return out
 
 
 def compute_coco_map(
@@ -277,13 +289,13 @@ def compute_coco_map(
     Returns ``coco_map`` = mean AP over IoU .50:.05:.95, plus ``ap50`` /
     ``ap75``, average recall ``ar_1`` / ``ar_10`` / ``ar_100`` (mean max
     recall over the same IoU sweep with at most 1/10/100 detections per
-    image, pycocotools semantics via :func:`_class_recall`), size-binned
+    image, pycocotools semantics via :func:`_class_recalls`), size-binned
     ``ar_small``/``ar_medium``/``ar_large`` (AR@100 over in-bin GT only,
     out-of-bin GT ignored), and size-binned ``ap_small`` / ``ap_medium`` /
     ``ap_large``
     (GT binned by area after ``box_scale``: pass the canvas pixel dim when
     boxes are canvas-normalized). Size bins use COCO ignore semantics
-    (:func:`_binned_ap`): matching runs against all GT, detections matched
+    (:func:`_binned_aps`): matching runs against all GT, detections matched
     to out-of-bin GT are ignored (not false positives), unmatched
     out-of-bin detections are ignored, and classes with no in-bin GT are
     excluded from the bin mean.
@@ -309,14 +321,15 @@ def compute_coco_map(
         if abs(t - 0.75) < 1e-9:
             out["ap75"] = v
 
+    index = _ClassIndex(detections, ground_truth, num_classes)
+
     def _mean_recall(max_dets: int, gt_in_bin=None) -> float:
         per_cls = []
         for c in range(num_classes):
-            vals = [_class_recall(detections, ground_truth, c,
-                                  iou_thresh=t, max_dets=max_dets,
-                                  gt_in_bin=gt_in_bin)
-                    for t in iou_thresholds]
-            vals = [v for v in vals if not np.isnan(v)]
+            vals = [v for v in _class_recalls(
+                        index, c, iou_thresholds, max_dets=max_dets,
+                        gt_in_bin=gt_in_bin)
+                    if not np.isnan(v)]
             if vals:  # class with countable GT
                 per_cls.append(float(np.mean(vals)))
         return float(np.mean(per_cls)) if per_cls else float("nan")
@@ -333,12 +346,9 @@ def compute_coco_map(
             out[f"ap_{name}"] = float("nan")
             out[f"ar_{name}"] = float("nan")
             continue
-        vals = [
-            _binned_ap(detections, ground_truth, num_classes,
-                       iou_thresh=t, gt_in_bin=gt_in, det_in_bin=det_in)
-            for t in iou_thresholds
-        ]
-        vals = [v for v in vals if not np.isnan(v)]
+        vals = [v for v in _binned_aps(index, iou_thresholds,
+                                       gt_in_bin=gt_in, det_in_bin=det_in)
+                if not np.isnan(v)]
         out[f"ap_{name}"] = float(np.mean(vals)) if vals else float("nan")
         out[f"ar_{name}"] = _mean_recall(100, gt_in_bin=gt_in)
     return out

@@ -31,6 +31,19 @@ def setup(args):
         format="%(asctime)s %(levelname).1s %(name)s] %(message)s",
         stream=sys.stderr,
     )
+    # Deployment/e2e escape hatch: pin the jax platform BEFORE backend init.
+    # Plugin discovery environments can force a remote accelerator via
+    # site hooks (JAX_PLATFORMS in os.environ is applied at import, so a
+    # subprocess can't override it with the env var alone); the config
+    # update below wins as long as no backend has been initialized yet —
+    # which holds here because setup() runs before any CLI touches jax.
+    platform = os.environ.get("YOLOJAX_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+        logging.getLogger(__name__).info(
+            "YOLOJAX_PLATFORM=%s: jax platform pinned", platform)
     from yolojax.config import load_config
 
     configs = args.config or (["config.ini"] if os.path.exists("config.ini")
