@@ -309,19 +309,22 @@ def compute_coco_map(
         return max(b[2] - b[0], 0.0) * max(b[3] - b[1], 0.0)
 
     out: Dict[str, float] = {}
-    per_t = [
-        compute_map(detections, ground_truth, num_classes,
-                    iou_thresh=t, eleven_point=False)["map"]
-        for t in iou_thresholds
-    ]
+    index = _ClassIndex(detections, ground_truth, num_classes)
+    # The unbinned sweep is the bin sweep with everything in-bin. Matching
+    # is pycocotools-exact: a detection takes the best *unmatched* GT above
+    # the threshold (VOC's compute_map takes the best-overall GT and fails
+    # if it is already matched — for the VOC surface that stays as is).
+    all_gt = np.ones(len(ground_truth), bool)
+    all_det = np.ones(len(detections), bool)
+    per_t = _binned_aps(index, iou_thresholds,
+                        gt_in_bin=all_gt, det_in_bin=all_det)
+    per_t = [0.0 if np.isnan(v) else v for v in per_t]
     out["coco_map"] = float(np.mean(per_t)) if per_t else 0.0
     for t, v in zip(iou_thresholds, per_t):
         if abs(t - 0.5) < 1e-9:
             out["ap50"] = v
         if abs(t - 0.75) < 1e-9:
             out["ap75"] = v
-
-    index = _ClassIndex(detections, ground_truth, num_classes)
 
     def _mean_recall(max_dets: int, gt_in_bin=None) -> float:
         per_cls = []
