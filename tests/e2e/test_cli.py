@@ -639,6 +639,58 @@ def test_27_export_artifact_and_serve(workspace, monkeypatch, capsys,
         load_artifact_detector(str(bad))
 
 
+def test_29_export_int8_artifact(workspace, monkeypatch, capsys, tmp_path):
+    """int8 AOT artifact: the quantized trunk (fold + PTQ scales) bakes
+    into StableHLO and serves identically to the live int8 --weights path
+    when calibrated on the same images; export refuses synthetic calib."""
+    _ensure_prereqs(workspace, monkeypatch)
+    imgs = [str(workspace / "voc" / "JPEGImages" / f"00000{i}.jpg")
+            for i in range(2)]
+    art = str(tmp_path / "int8.yjsa")
+
+    # guard: int8 export without calibration data must refuse
+    with pytest.raises(SystemExit):
+        _run("cli.export", [
+            "-c", str(workspace / "test.ini"),
+            "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+            "--out", art, "detect.use_int8=1",
+        ], monkeypatch)
+    capsys.readouterr()
+
+    _run("cli.export", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--out", art, "--batch", "1",
+        "--calib-image", imgs[0], "--calib-image", imgs[1],
+        # overrides must stay contiguous: argparse matches the nargs='*'
+        # positional once, at its first occurrence
+        "detect.use_int8=1", "detect.threshold=0.0001",
+        "detect.calib_images=2",
+    ], monkeypatch)
+    capsys.readouterr()
+
+    from cli.detect import load_artifact_detector
+
+    _, meta = load_artifact_detector(art)
+    assert meta["int8"] is True
+
+    def detect(flags, overrides=()):
+        _run("cli.detect", [
+            "-c", str(workspace / "test.ini"), *flags,
+            "--image", imgs[0], "--image", imgs[1],
+            "detect.threshold=0.0001", "eval.batch_size=1", *overrides,
+        ], monkeypatch)
+        return sorted(l for l in capsys.readouterr().out.splitlines()
+                      if ": " in l)
+
+    # live int8 path calibrates on its first calib_images inputs — the
+    # same two images the artifact was calibrated on, so scales match
+    want = detect(["--weights", str(workspace / "logdir" / "yolo2_tiny")],
+                  ["detect.use_int8=1", "detect.calib_images=2"])
+    got = detect(["--artifact", art])
+    assert want and got == want
+
+
 def test_28_detect_camera_from_artifact(workspace, monkeypatch, tmp_path,
                                         capsys):
     """Camera CLI serving from an AOT artifact (no weights / [model])."""
