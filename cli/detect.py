@@ -117,6 +117,95 @@ def load_artifact_detector(artifact_path):
             int(art.meta["batch"])), art.meta
 
 
+def _read_rgb(path):
+    """Load an image as RGB or fail with the offending path (cv2.imread
+    returns None on unreadable files; letting that flow into cvtColor
+    raises an opaque '!_src.empty()' error with no filename)."""
+    import cv2
+
+    img = cv2.imread(path)
+    if img is None:
+        raise SystemExit(f"unreadable image: {path}")
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+
+
+def sync_artifact_cfg(cfg, meta):
+    """Rebuild the (frozen) config so host preprocessing matches what the
+    artifact's graph was exported for — the letterbox style must agree."""
+    import dataclasses
+
+    return dataclasses.replace(cfg, detect=dataclasses.replace(
+        cfg.detect, stretch=bool(meta.get("stretch", cfg.detect.stretch))))
+
+
+class LazyDetector:
+    """Deferred detector build shared by the stream (``--stdin``) and
+    camera CLIs: buffers the first ``detect.calib_images`` readable frames
+    so int8 activation scales calibrate on real inputs (the same knob as
+    the batched detect path), then builds once and drains the queue in
+    arrival order. Frameless responses (e.g. unreadable-path errors) queue
+    behind buffered frames so output order always matches input order —
+    they emit immediately when nothing is buffered.
+
+    ``process(item)`` is the per-frame callback; it reads ``self.infer``
+    and ``self.names`` (bound by :meth:`flush`, or :meth:`bind` for AOT
+    artifacts, where no buffering ever happens)."""
+
+    def __init__(self, cfg, weights_path, process):
+        self._cfg = cfg
+        self._weights = weights_path
+        self._process = process
+        self._pending = []  # ("frame", canvas, item) | ("call", fn)
+        self.calib_target = (max(cfg.detect.calib_images, 1)
+                             if cfg.detect.use_int8 else 1)
+        self.names = None
+        self.dim = cfg.model.dim
+        self.infer = None
+
+    @property
+    def ready(self):
+        return self.infer is not None
+
+    @property
+    def pending_frames(self):
+        return sum(e[0] == "frame" for e in self._pending)
+
+    def bind(self, names, dim, infer):
+        """Serve an already-built graph (AOT artifact): no lazy build."""
+        self.names, self.dim, self.infer = names, dim, infer
+
+    def add_frame(self, canvas, item):
+        if self.infer is None:
+            self._pending.append(("frame", canvas, item))
+            if self.pending_frames >= self.calib_target:
+                self.flush()
+        else:
+            self._process(item)
+
+    def defer(self, fn):
+        if self.infer is None and self.pending_frames:
+            self._pending.append(("call", fn))
+        else:
+            fn()
+
+    def flush(self):
+        """Build on whatever frames arrived (short streams calibrate on
+        fewer than calib_target) and drain the queue in order."""
+        if not self._pending:
+            return
+        if self.infer is None:
+            canvases = [e[1] for e in self._pending if e[0] == "frame"]
+            self.names, self.dim, self.infer = build_detector(
+                self._cfg, self._weights,
+                canvases if self._cfg.detect.use_int8 else None)
+        for entry in self._pending:
+            if entry[0] == "frame":
+                self._process(entry[2])
+            else:
+                entry[1]()
+        self._pending.clear()
+
+
 def _extract(out, k, tf, raw_shape, names):
     """Un-letterbox image k's kept boxes to original coords."""
     import numpy as np
@@ -171,8 +260,7 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False,
             # noise.
             calib = []
             for p in image_paths[: max(cfg.detect.calib_images, 1)]:
-                raw = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-                canvas, _ = letterbox_host(raw, dim,
+                canvas, _ = letterbox_host(_read_rgb(p), dim,
                                            stretch=cfg.detect.stretch)
                 calib.append(canvas)
         names, dim, infer = build_detector(cfg, weights_path, calib)
@@ -188,7 +276,7 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False,
         group = image_paths[start : start + batch]
         raws, canvases, tfs = [], [], []
         for image_path in group:
-            raw = cv2.cvtColor(cv2.imread(image_path), cv2.COLOR_BGR2RGB)
+            raw = _read_rgb(image_path)
             canvas, tf = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
             raws.append(raw)
             canvases.append(canvas)
@@ -244,39 +332,17 @@ def run_stream(cfg, weights_path, out_dir=None, lines=None, detector=None):
     from yolojax.data.augment import letterbox_host
 
     log = logging.getLogger("detect")
-    dim = cfg.model.dim
-    names = None
-    infer = None
-    if detector is not None:  # AOT artifact: graph + names already bound
-        names, dim, infer, art_batch = detector
-        if art_batch != 1:
-            raise SystemExit(
-                f"--stdin serves one image at a time; the artifact was "
-                f"exported with batch {art_batch} (re-export with "
-                f"--batch 1)")
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
     if lines is None:
         lines = sys.stdin
     n = 0
-    # int8 mode buffers the first N readable frames so activation scales
-    # are calibrated like the batched detect path (same calib_images knob)
-    # instead of on a single frame; results still print in input order.
-    calib_target = (max(cfg.detect.calib_images, 1)
-                    if cfg.detect.use_int8 else 1)
-    if calib_target > 1:
-        # nothing prints until N paths arrive (or stdin closes): a
-        # request/response client that waits for each block would hang
-        log.warning(
-            "int8 serving buffers the first %d frames for activation "
-            "calibration before responding; set detect.calib_images=1 "
-            "for interactive one-request-at-a-time clients", calib_target)
-    pending = []  # frames read before the detector exists
 
-    def process(image_path, raw, canvas, tf):
+    def process(item):
         nonlocal n
-        out = infer(jnp.asarray(canvas[None]))
-        dets = _extract(out, 0, tf, raw.shape, names)
+        image_path, raw, canvas, tf = item
+        out = det.infer(jnp.asarray(canvas[None]))
+        dets = _extract(out, 0, tf, raw.shape, det.names)
         for name, _, score, (x0, y0, x1, y1) in dets:
             print(f"{os.path.basename(image_path)}: {name} "
                   f"{score:.3f} [{x0:.0f}, {y0:.0f}, {x1:.0f}, {y1:.0f}]")
@@ -290,14 +356,27 @@ def run_stream(cfg, weights_path, out_dir=None, lines=None, detector=None):
                 log.error("failed to write %s", dst)
         n += 1
 
-    def build_and_flush():
-        nonlocal names, dim, infer
-        names, dim, infer = build_detector(
-            cfg, weights_path,
-            [c for _, _, c, _ in pending] if cfg.detect.use_int8 else None)
-        for args in pending:
-            process(*args)
-        pending.clear()
+    def emit_error(image_path):
+        print(f"{os.path.basename(image_path)}: ERROR unreadable")
+        print(flush=True)
+
+    det = LazyDetector(cfg, weights_path, process)
+    if detector is not None:  # AOT artifact: graph + names already bound
+        names, dim, infer, art_batch = detector
+        if art_batch != 1:
+            raise SystemExit(
+                f"--stdin serves one image at a time; the artifact was "
+                f"exported with batch {art_batch} (re-export with "
+                f"--batch 1)")
+        det.bind(names, dim, infer)
+    if det.calib_target > 1 and not det.ready:
+        # nothing prints until N paths arrive (or stdin closes): a
+        # request/response client that waits for each block would hang
+        log.warning(
+            "int8 serving buffers the first %d frames for activation "
+            "calibration before responding; set detect.calib_images=1 "
+            "for interactive one-request-at-a-time clients",
+            det.calib_target)
 
     for line in lines:
         image_path = line.strip()
@@ -305,19 +384,15 @@ def run_stream(cfg, weights_path, out_dir=None, lines=None, detector=None):
             continue
         img = cv2.imread(image_path)
         if img is None:
-            print(f"{os.path.basename(image_path)}: ERROR unreadable")
-            print(flush=True)
+            # queued behind any buffered frames: response order must
+            # match input order even while calibration is buffering
+            det.defer(lambda p=image_path: emit_error(p))
             continue
         raw = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        canvas, tf = letterbox_host(raw, dim, stretch=cfg.detect.stretch)
-        if infer is None:
-            pending.append((image_path, raw, canvas, tf))
-            if len(pending) >= calib_target:
-                build_and_flush()
-            continue
-        process(image_path, raw, canvas, tf)
-    if pending:  # short stream: calibrate on what arrived
-        build_and_flush()
+        canvas, tf = letterbox_host(raw, det.dim,
+                                    stretch=cfg.detect.stretch)
+        det.add_frame(canvas, (image_path, raw, canvas, tf))
+    det.flush()  # short stream: calibrate on what arrived
     log.info("stream done: %d images", n)
     return n
 
@@ -348,13 +423,7 @@ def main():
     detector = None
     if args.artifact:
         detector, meta = load_artifact_detector(args.artifact)
-        # the letterbox style must match what the graph was exported for
-        # (configs are frozen dataclasses: rebuild with the baked value)
-        import dataclasses as _dc
-
-        cfg = _dc.replace(cfg, detect=_dc.replace(
-            cfg.detect, stretch=bool(meta.get("stretch",
-                                              cfg.detect.stretch))))
+        cfg = sync_artifact_cfg(cfg, meta)
     if args.stdin:
         run_stream(cfg, args.weights, args.out or None, detector=detector)
     elif args.image:

@@ -37,50 +37,23 @@ def main():
     import cv2
     import jax.numpy as jnp
 
-    from cli.detect import _extract, build_detector, load_artifact_detector
+    from cli.detect import (LazyDetector, _extract, load_artifact_detector,
+                            sync_artifact_cfg)
     from yolojax.data.augment import letterbox_host
     from yolojax.utils.draw import draw_detection
 
     if bool(args.weights) == bool(args.artifact):
         parser.error("exactly one of --weights or --artifact is required")
-    dim = cfg.model.dim
-    # Same serving stack as cli/detect.py (fold + optional stem fusion /
-    # int8 trunk, one jitted graph); int8 buffers the first calib_images
-    # frames for activation calibration, like the batched detect path.
-    names = infer = None
-    calib_target = (max(cfg.detect.calib_images, 1)
-                    if cfg.detect.use_int8 else 1)
-    if args.artifact:  # AOT artifact: graph + names bound before capture
-        (names, dim, infer, art_batch), art_meta = load_artifact_detector(
-            args.artifact)
-        # the letterbox style must match what the graph was exported for
-        import dataclasses as _dc
-
-        cfg = _dc.replace(cfg, detect=_dc.replace(
-            cfg.detect, stretch=bool(art_meta.get("stretch",
-                                                  cfg.detect.stretch))))
-        if art_batch != 1:
-            raise SystemExit(
-                f"camera serving is frame-at-a-time; the artifact was "
-                f"exported with batch {art_batch} (re-export with "
-                f"--batch 1)")
-
-    src = args.video if args.video else args.camera
-    cap = cv2.VideoCapture(src)
-    if not cap.isOpened():
-        raise SystemExit(f"cannot open capture source {src!r}")
-    if args.out_dir:
-        os.makedirs(args.out_dir, exist_ok=True)
     frames = 0
     stop = False
-    pending = []  # frames captured before the detector exists
     t0 = time.perf_counter()
 
-    def process(frame, canvas, tf):
+    def process(item):
         nonlocal frames, stop
-        out = infer(jnp.asarray(canvas[None]))
+        frame, canvas, tf = item
+        out = det.infer(jnp.asarray(canvas[None]))
         for name, cls, score, (x0, y0, x1, y1) in _extract(
-            out, 0, tf, frame.shape, names
+            out, 0, tf, frame.shape, det.names
         ):
             draw_detection(frame, int(x0), int(y0), int(x1), int(y1),
                            f"{name} {score:.2f}", cls)
@@ -96,14 +69,27 @@ def main():
             if cv2.waitKey(1) & 0xFF == ord("q"):
                 stop = True
 
-    def build_and_flush():
-        nonlocal names, dim, infer
-        names, dim, infer = build_detector(
-            cfg, args.weights,
-            [c for _, c, _ in pending] if cfg.detect.use_int8 else None)
-        for item in pending:
-            process(*item)
-        pending.clear()
+    # Same serving stack as cli/detect.py (fold + optional stem fusion /
+    # int8 trunk, one jitted graph); int8 buffers the first calib_images
+    # frames for activation calibration, like the batched detect path.
+    det = LazyDetector(cfg, args.weights, process)
+    if args.artifact:  # AOT artifact: graph + names bound before capture
+        (names, dim, infer, art_batch), art_meta = load_artifact_detector(
+            args.artifact)
+        cfg = sync_artifact_cfg(cfg, art_meta)
+        if art_batch != 1:
+            raise SystemExit(
+                f"camera serving is frame-at-a-time; the artifact was "
+                f"exported with batch {art_batch} (re-export with "
+                f"--batch 1)")
+        det.bind(names, dim, infer)
+
+    src = args.video if args.video else args.camera
+    cap = cv2.VideoCapture(src)
+    if not cap.isOpened():
+        raise SystemExit(f"cannot open capture source {src!r}")
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
 
     try:
         while not stop:
@@ -111,18 +97,13 @@ def main():
             if not ok:
                 break
             rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-            canvas, tf = letterbox_host(rgb, dim,
+            canvas, tf = letterbox_host(rgb, det.dim,
                                         stretch=cfg.detect.stretch)
-            if infer is None:
-                pending.append((frame, canvas, tf))
-                if len(pending) >= calib_target:
-                    build_and_flush()
-            else:
-                process(frame, canvas, tf)
-            if args.max_frames and frames + len(pending) >= args.max_frames:
+            det.add_frame(canvas, (frame, canvas, tf))
+            if args.max_frames and frames + det.pending_frames >= \
+                    args.max_frames:
                 break
-        if pending:  # short capture: calibrate on what arrived
-            build_and_flush()
+        det.flush()  # short capture: calibrate on what arrived
     finally:
         cap.release()
         if not args.out_dir:  # pragma: no cover

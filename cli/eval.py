@@ -55,34 +55,39 @@ def main():
     if multi_process and not eval_dist and jax.process_index() != 0:
         _sync_done()
         return  # non-distributed eval has no collectives; primary-only
-    params, bn_state = load_weights(args.weights, model, cfg.model.dim)
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
-    cache = load_cache(cfg.cache.basedir, args.phase)
-    metrics = evaluate_model(
-        model, params, bn_state, cache,
-        input_dim=cfg.model.dim,
-        batch_size=cfg.eval.batch_size,
-        nms_iou=cfg.detect.nms_iou,
-        top_k=cfg.detect.top_k,
-        map_iou=cfg.eval.map_iou,
-        use_pallas=cfg.detect.use_pallas,
-        candidates=cfg.detect.candidates,
-        fuse_stem_impl=cfg.detect.fuse_stem,
-        compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
-        else jnp.bfloat16,
-        max_batches=args.max_batches or None,
-        stretch=cfg.detect.stretch,
-        max_detections=cfg.eval.max_detections,
-        int8=cfg.detect.use_int8,
-        calib_images=cfg.detect.calib_images,
-        calib_percentile=cfg.detect.calib_percentile,
-        coco=args.coco,
-        data_parallel=cfg.eval.data_parallel_flag(),
-        distributed=eval_dist,
-    )
-    if multi_process and not eval_dist:
-        _sync_done()  # release the parked non-primary processes
+    try:
+        params, bn_state = load_weights(args.weights, model, cfg.model.dim)
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
+        cache = load_cache(cfg.cache.basedir, args.phase)
+        metrics = evaluate_model(
+            model, params, bn_state, cache,
+            input_dim=cfg.model.dim,
+            batch_size=cfg.eval.batch_size,
+            nms_iou=cfg.detect.nms_iou,
+            top_k=cfg.detect.top_k,
+            map_iou=cfg.eval.map_iou,
+            use_pallas=cfg.detect.use_pallas,
+            candidates=cfg.detect.candidates,
+            fuse_stem_impl=cfg.detect.fuse_stem,
+            compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
+            else jnp.bfloat16,
+            max_batches=args.max_batches or None,
+            stretch=cfg.detect.stretch,
+            max_detections=cfg.eval.max_detections,
+            int8=cfg.detect.use_int8,
+            calib_images=cfg.detect.calib_images,
+            calib_percentile=cfg.detect.calib_percentile,
+            coco=args.coco,
+            data_parallel=cfg.eval.data_parallel_flag(),
+            distributed=eval_dist,
+        )
+    finally:
+        if multi_process and not eval_dist:
+            # release the parked non-primaries even when the primary fails
+            # early (bad --weights, missing cache): a skipped barrier would
+            # leave them hung until the heartbeat timeout kills the job
+            _sync_done()
     if multi_process and jax.process_index() != 0:
         return  # distributed metrics are identical everywhere; primary prints
     names = cfg.names()

@@ -35,7 +35,8 @@ def main():
                              "artifact (default 1; --stdin serving needs 1)")
     parser.add_argument("--calib-image", action="append", default=[],
                         help="calibration image for the int8 trunk "
-                             "(repeatable; used with detect.use_int8=1)")
+                             "(repeatable; every listed image is used, "
+                             "with detect.use_int8=1)")
     parser.add_argument("--allow-synthetic-calib", action="store_true",
                         help="permit int8 export without --calib-image "
                              "(activation scales calibrated on noise — "
@@ -62,14 +63,17 @@ def main():
 
     calib = None
     if cfg.detect.use_int8 and args.calib_image:
-        import cv2
-
+        from cli.detect import _read_rgb
         from yolojax.data.augment import letterbox_host
 
+        # the explicit --calib-image list wins over detect.calib_images
+        # (that knob caps how many of a live CLI's *inputs* are reused for
+        # calibration; here the user enumerated the set deliberately, and
+        # silently truncating it would bake degraded scales into the
+        # artifact forever)
         calib = []
-        for p in args.calib_image[: max(cfg.detect.calib_images, 1)]:
-            raw = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
-            canvas, _ = letterbox_host(raw, cfg.model.dim,
+        for p in args.calib_image:
+            canvas, _ = letterbox_host(_read_rgb(p), cfg.model.dim,
                                        stretch=cfg.detect.stretch)
             calib.append(canvas)
 

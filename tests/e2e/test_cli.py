@@ -486,6 +486,34 @@ def test_21_detect_stdin_stream(workspace, monkeypatch, capsys, tmp_path):
     assert len(_os.listdir(out_dir)) == 3  # annotated PNGs for real images
 
 
+def test_30_stream_int8_response_order(workspace, monkeypatch, capsys):
+    """While int8 calibration buffers the first calib_images readable
+    frames, unreadable-path ERROR blocks must queue behind them so the
+    Nth response block always answers the Nth request (the machine-
+    parseable pairing run_stream documents)."""
+    import io
+
+    _ensure_prereqs(workspace, monkeypatch)
+    good = [str(workspace / "voc" / "JPEGImages" / f"{i:06d}.jpg")
+            for i in range(2)]
+    # unreadable path arrives between the two calibration frames
+    monkeypatch.setattr(sys, "stdin", io.StringIO(
+        "\n".join([good[0], "/nope/missing.jpg", good[1]])))
+    _run("cli.detect", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--stdin",
+        "detect.threshold=0.0001", "detect.use_int8=1",
+        "detect.calib_images=2",
+    ], monkeypatch)
+    out = capsys.readouterr().out
+    assert out.count("\n\n") == 3, out[-500:]  # one block per input line
+    i0 = out.index("000000.jpg: ")
+    ierr = out.index("missing.jpg: ERROR unreadable")
+    i1 = out.index("000001.jpg: ")
+    assert i0 < ierr < i1, out[-500:]
+
+
 def test_22_multiscale_with_tensor_parallel(workspace, monkeypatch, tmp_path):
     """Multi-scale bucketed jit variants must each re-propagate the TP
     shardings (4x2 mesh) — gates the bucket-cache x GSPMD interaction."""

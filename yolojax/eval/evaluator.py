@@ -70,10 +70,12 @@ def _allgather_shards(detections, ground_truth, num_images, n_proc):
     rank = jax.process_index()
     # ids ride in float32 rows: above 2^24 integers lose precision and
     # detection/GT grouping silently corrupts — fail loudly instead
-    assert num_images * n_proc < 2 ** 24, (
-        f"distributed eval id space {num_images} x {n_proc} processes "
-        f"exceeds float32 integer range (2^24); shard the eval set"
-    )
+    # (a real raise, not an assert: must survive python -O)
+    if num_images * n_proc >= 2 ** 24:
+        raise ValueError(
+            f"distributed eval id space {num_images} x {n_proc} processes "
+            f"exceeds float32 integer range (2^24); shard the eval set"
+        )
 
     def pack(rows, width):
         if rows:
