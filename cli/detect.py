@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from yolojax.utils.cli import make_parser, setup  # noqa: E402
 
 
-def build_serving(cfg, weights_path, calib_canvases=None):
+def build_serving(cfg, weights_path, calib_canvases=None, portable=False):
     """Build the serving stack without binding it to a call style: load
     weights, fold BN (+ optional stem fusion / int8 trunk), jit the graph.
     Returns (names, dim, infer_fn(params, bn_state, canvases), params,
@@ -28,6 +28,10 @@ def build_serving(cfg, weights_path, calib_canvases=None):
 
     ``calib_canvases``: letterboxed input canvases for int8 activation
     calibration (real data; falls back with a warning when absent).
+
+    ``portable``: build a backend-independent graph (f32 compute, lax NMS,
+    exact top-k, no Pallas stem) regardless of the ambient backend — for
+    exports that must execute on plain CPU hosts (TF SavedModel).
     """
     import logging
 
@@ -48,8 +52,13 @@ def build_serving(cfg, weights_path, calib_canvases=None):
     if not cfg.detect.use_int8:
         from yolojax.nn.stem import fuse_stem
 
+        stem_impl = cfg.detect.fuse_stem
+        if portable and stem_impl != "off":
+            log.warning("portable export: detect.fuse_stem=%s disabled "
+                        "(fused stems are TPU-layout-specific)", stem_impl)
+            stem_impl = "off"
         model, params, bn_state = fuse_stem(model, params, bn_state,
-                                            impl=cfg.detect.fuse_stem)
+                                            impl=stem_impl)
     params = jax.tree_util.tree_map(jnp.asarray, params)
     bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
 
@@ -68,13 +77,18 @@ def build_serving(cfg, weights_path, calib_canvases=None):
             log.warning("int8 calibration falling back to synthetic inputs")
         qm = quantize_model(model, jax.device_get(params), calib,
                             percentile=cfg.detect.calib_percentile)
+    if portable:
+        use_pallas, candidates = "never", "exact"
+        compute = jnp.float32
+    else:
+        use_pallas, candidates = cfg.detect.use_pallas, cfg.detect.candidates
+        compute = (jnp.float32 if jax.default_backend() == "cpu"
+                   else jnp.bfloat16)
     infer_fn = make_infer_fn(
         model, score_thresh=cfg.detect.threshold,
         iou_thresh=cfg.detect.nms_iou,
-        top_k=cfg.detect.top_k, use_pallas=cfg.detect.use_pallas,
-        candidates=cfg.detect.candidates,
-        compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
-        else jnp.bfloat16, qm=qm,
+        top_k=cfg.detect.top_k, use_pallas=use_pallas,
+        candidates=candidates, compute_dtype=compute, qm=qm,
     )
     return names, dim, infer_fn, params, bn_state
 

@@ -29,7 +29,15 @@ def main():
     parser.add_argument("--weights", required=True,
                         help="npz / .weights / orbax dir / TF1 ckpt prefix")
     parser.add_argument("--out", required=True,
-                        help="artifact output path (suggest .yjsa)")
+                        help="artifact output path (suggest .yjsa; a "
+                             "directory for --format savedmodel)")
+    parser.add_argument("--format", choices=("artifact", "savedmodel"),
+                        default="artifact",
+                        help="'artifact': jax.export StableHLO for the "
+                             "current backend (default). 'savedmodel': TF "
+                             "SavedModel via jax2tf (portable CPU graph) "
+                             "for TF Serving hosts — the reference's own "
+                             "deployment runtime")
     parser.add_argument("--batch", type=int, default=1,
                         help="fixed serving batch size baked into the "
                              "artifact (default 1; --stdin serving needs 1)")
@@ -77,19 +85,31 @@ def main():
                                        stretch=cfg.detect.stretch)
             calib.append(canvas)
 
+    portable = args.format == "savedmodel"
     names, dim, infer_fn, params, bn_state = build_serving(
-        cfg, args.weights, calib)
+        cfg, args.weights, calib, portable=portable)
+    header = {
+        "names": list(names),
+        "model": f"{cfg.model.model}/{cfg.model.inference}",
+        "threshold": cfg.detect.threshold,
+        "nms_iou": cfg.detect.nms_iou,
+        "top_k": cfg.detect.top_k,
+        "stretch": bool(cfg.detect.stretch),
+        "int8": bool(cfg.detect.use_int8),
+    }
+    if portable:
+        from yolojax.serve.savedmodel import save_savedmodel
+
+        meta = save_savedmodel(args.out, infer_fn, params, bn_state,
+                               batch=args.batch, dim=dim, meta=header)
+        log.info("exported SavedModel %s: %s dim %d batch %d", args.out,
+                 meta["model"], meta["dim"], meta["batch"])
+        print(f"{args.out}: {meta['model']} dim={meta['dim']} "
+              f"batch={meta['batch']} format=savedmodel platforms=cpu")
+        return
     meta = save_artifact(
         args.out, infer_fn, params, bn_state, batch=args.batch, dim=dim,
-        meta={
-            "names": list(names),
-            "model": f"{cfg.model.model}/{cfg.model.inference}",
-            "threshold": cfg.detect.threshold,
-            "nms_iou": cfg.detect.nms_iou,
-            "top_k": cfg.detect.top_k,
-            "stretch": bool(cfg.detect.stretch),
-            "int8": bool(cfg.detect.use_int8),
-        },
+        meta=header,
     )
     log.info("exported %s: %s dim %d batch %d platforms %s (%.1f MB)",
              args.out, meta["model"], meta["dim"], meta["batch"],

@@ -746,3 +746,51 @@ def test_28_detect_camera_from_artifact(workspace, monkeypatch, tmp_path,
         "--video", video, "--out-dir", out_dir, "--max-frames", "2",
     ], monkeypatch)
     assert len(os.listdir(out_dir)) == 2
+
+
+def test_31_export_savedmodel(workspace, monkeypatch, capsys, tmp_path):
+    """TF SavedModel export (cli/export.py --format savedmodel): the
+    jax2tf bridge serves the same detections under plain TF that the live
+    --weights path produces (the reference's own deployment runtime)."""
+    _ensure_prereqs(workspace, monkeypatch)
+    pytest.importorskip("tensorflow")
+
+    sm_dir = str(tmp_path / "savedmodel")
+    _run("cli.export", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--out", sm_dir, "--format", "savedmodel", "--batch", "1",
+        "detect.threshold=0.0001",
+    ], monkeypatch)
+    head = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "format=savedmodel" in head and "platforms=cpu" in head
+    assert os.path.exists(os.path.join(sm_dir, "saved_model.pb"))
+
+    from yolojax.serve.savedmodel import load_savedmodel
+
+    meta, serve_fn = load_savedmodel(sm_dir)
+    assert meta["names"][0] == "aeroplane" and meta["batch"] == 1
+
+    # serve a real letterboxed workspace image and compare keeps against
+    # the live portable build (identical graph up to TF-XLA float noise)
+    import jax
+
+    from cli.detect import _read_rgb, build_serving
+    from yolojax.config import load_config
+    from yolojax.data.augment import letterbox_host
+
+    cfg = load_config([str(workspace / "test.ini")],
+                      ["detect.threshold=0.0001"])
+    img = str(workspace / "voc" / "JPEGImages" / "000000.jpg")
+    canvas, _ = letterbox_host(_read_rgb(img), cfg.model.dim,
+                               stretch=cfg.detect.stretch)
+    x = np.stack([canvas])
+    got = serve_fn(x)
+    _, _, infer_fn, params, bn_state = build_serving(
+        cfg, str(workspace / "logdir" / "yolo2_tiny"), portable=True)
+    want = jax.device_get(infer_fn(params, bn_state, x))
+    np.testing.assert_array_equal(got["keep"], np.asarray(want["keep"]))
+    np.testing.assert_array_equal(got["classes"],
+                                  np.asarray(want["classes"]))
+    np.testing.assert_allclose(got["boxes"], np.asarray(want["boxes"]),
+                               atol=1e-5, rtol=1e-4)
