@@ -163,10 +163,11 @@ def main():
             print(f"WARNING: train surface failed: {e!r}", file=sys.stderr)
         try:
             one = images[:1]
-            lat_jit = jax.jit(build_infer(args, jax, jnp, compute, False))
-            jax.block_until_ready(lat_jit(perturb(one, 0.0)))
+            # same jitted program as the throughput surface — jax.jit
+            # retraces it at batch 1; no second model build/fold needed
+            jax.block_until_ready(infer_jit(perturb(one, 0.0)))
             result["p50_latency_ms"] = round(
-                _device_latency_ms(jax, lat_jit, perturb, one, n=10), 3)
+                _device_latency_ms(jax, infer_jit, perturb, one, n=10), 3)
         except Exception as e:
             print(f"WARNING: latency surface failed: {e!r}", file=sys.stderr)
     print(json.dumps(result))

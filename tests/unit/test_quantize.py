@@ -115,3 +115,19 @@ def test_calibration_chunked_absmax_exact(folded_darknet):
     split = calibrate(model, params, calib, chunk=2)
     np.testing.assert_allclose(one[0], split[0], rtol=1e-6)
     np.testing.assert_allclose(one[1], split[1], rtol=1e-5)
+
+
+def test_calibration_all_black_stays_finite(folded_darknet):
+    """All-zero calibration frames (covered camera / video fading in from
+    black) must not zero input_scale: a 0 scale divides by zero in
+    apply_int8's requant and silently NaNs every detection."""
+    model, params, _ = folded_darknet
+    calib = jnp.zeros((2, 64, 64, 3), jnp.float32)
+    in_scale, scales = calibrate(model, params, calib)
+    assert in_scale > 0
+    assert all(s > 0 for s in scales)
+    qm = quantize_model(model, params, calib)
+    x = jnp.asarray(np.random.RandomState(1)
+                    .uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    out = apply_int8(qm, x)
+    assert bool(jnp.isfinite(out).all())

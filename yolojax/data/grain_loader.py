@@ -113,7 +113,9 @@ class GrainLoader:
         b = self.cfg.batch_size
         return n // b if self.cfg.drop_remainder else (n + b - 1) // b
 
-    def epoch(self, epoch_idx: int = 0, *, shuffle: bool = True) -> Iterator:
+    def _make_dataloader(self, *, shuffle: bool, num_epochs, seed: int):
+        """One construction path for epoch() and stream(): the two
+        iteration styles must never diverge in sharding/decode/batching."""
         gp = _gp
         cfg = self.cfg
         sampler = gp.IndexSampler(
@@ -123,10 +125,10 @@ class GrainLoader:
                 drop_remainder=cfg.drop_remainder,
             ),
             shuffle=shuffle,
-            num_epochs=1,
-            seed=cfg.seed + epoch_idx,  # deterministic per (seed, epoch)
+            num_epochs=num_epochs,
+            seed=seed,
         )
-        loader = gp.DataLoader(
+        return gp.DataLoader(
             data_source=_IndexSource(len(self.cache)),
             sampler=sampler,
             operations=[
@@ -135,6 +137,12 @@ class GrainLoader:
                          drop_remainder=cfg.drop_remainder),
             ],
             worker_count=self._worker_count,
+        )
+
+    def epoch(self, epoch_idx: int = 0, *, shuffle: bool = True) -> Iterator:
+        loader = self._make_dataloader(
+            shuffle=shuffle, num_epochs=1,
+            seed=self.cfg.seed + epoch_idx,  # deterministic per (seed, epoch)
         )
         for imgs, boxes, cls, valid in loader:
             yield (np.asarray(imgs), np.asarray(boxes),
@@ -154,28 +162,8 @@ class GrainLoader:
         boundary. cli/train.py saves this state next to each Orbax
         checkpoint when ``[queue] loader = grain``.
         """
-        gp = _gp
-        cfg = self.cfg
-        sampler = gp.IndexSampler(
-            num_records=len(self.cache),
-            shard_options=gp.ShardOptions(
-                shard_index=cfg.shard_index, shard_count=cfg.shard_count,
-                drop_remainder=cfg.drop_remainder,
-            ),
-            shuffle=shuffle,
-            num_epochs=None,
-            seed=cfg.seed,
-        )
-        loader = gp.DataLoader(
-            data_source=_IndexSource(len(self.cache)),
-            sampler=sampler,
-            operations=[
-                self._decode,
-                gp.Batch(batch_size=cfg.batch_size,
-                         drop_remainder=cfg.drop_remainder),
-            ],
-            worker_count=self._worker_count,
-        )
+        loader = self._make_dataloader(shuffle=shuffle, num_epochs=None,
+                                       seed=self.cfg.seed)
         return CheckpointableStream(loader)
 
 

@@ -74,10 +74,10 @@ def compute_map(
             if cls == c:
                 gt_by_img.setdefault(img, []).append(np.asarray(box, np.float64))
         npos = sum(len(v) for v in gt_by_img.values())
-        dets = [(img, score, np.asarray(box, np.float64))
-                for img, cls, score, box in detections if cls == c]
         if npos == 0:
             continue  # absent class: excluded from the mean (see docstring)
+        dets = [(img, score, np.asarray(box, np.float64))
+                for img, cls, score, box in detections if cls == c]
         dets.sort(key=lambda d: -d[1])
         matched: Dict[int, np.ndarray] = {
             img: np.zeros(len(v), bool) for img, v in gt_by_img.items()

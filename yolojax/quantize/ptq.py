@@ -109,7 +109,11 @@ def calibrate(
 
     scales: List[float] = []
     x = images.astype(jnp.float32)
-    input_scale = _range(x) / 127.0
+    # clamp like the per-layer scales below: an all-zero calibration range
+    # (all-black frames, or a low percentile over mostly-zero canvases)
+    # would otherwise divide by zero in apply_int8's requant and silently
+    # NaN every detection of the session
+    input_scale = max(_range(x) / 127.0, 1e-8)
     outputs: List[jax.Array] = []
     for i, spec in enumerate(model.specs):
         if isinstance(spec, ConvSpec):
