@@ -22,6 +22,11 @@ def main():
     parser.add_argument("--coco", action="store_true",
                         help="also report COCO-style AP@[.50:.95], AP75 and "
                              "small/medium/large APs (BASELINE config 5)")
+    parser.add_argument("--dump", default="",
+                        help="write the eval set + detections as one "
+                             "COCO-format JSON ({'gt': ..., 'detections': "
+                             "...}) for external re-scoring with "
+                             "pycocotools")
     args = parser.parse_args()
     cfg = setup(args)
 
@@ -81,6 +86,8 @@ def main():
             coco=args.coco,
             data_parallel=cfg.eval.data_parallel_flag(),
             distributed=eval_dist,
+            dump_path=args.dump or None,
+            class_names=cfg.names(),
         )
     finally:
         if multi_process and not eval_dist:

@@ -139,6 +139,28 @@ def test_05_eval(workspace, monkeypatch, capsys):
     for k in rec:  # per-shard programs may differ at ULP level
         np.testing.assert_allclose(rec_sd[k], rec[k], atol=1e-6, err_msg=k)
 
+    # --dump: COCO-format GT + results JSON for external pycocotools
+    # re-scoring; counts and pixel coordinates must match the metrics
+    dump = str(workspace / "eval_dump.json")
+    _run("cli.eval", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--phase", "test", "--dump", dump,
+    ], monkeypatch)
+    capsys.readouterr()
+    blob = json.load(open(dump))
+    assert len(blob["gt"]["images"]) == rec["num_images"]
+    assert len(blob["detections"]) == rec["num_detections"]
+    assert blob["gt"]["categories"][0] == {"id": 1, "name": "aeroplane"}
+    dim = 64  # canvas dim from the workspace INI
+    for ann in blob["gt"]["annotations"]:
+        x, y, w, h = ann["bbox"]
+        assert 0 <= x <= dim and 0 <= y <= dim and w > 0 and h > 0
+        assert ann["area"] == pytest.approx(w * h)
+        assert ann["category_id"] >= 1
+    for det in blob["detections"]:
+        assert det["score"] > 0 and len(det["bbox"]) == 4
+
 
 def test_06_demo_augmentation(workspace, monkeypatch, capsys):
     _ensure_prereqs(workspace, monkeypatch)
@@ -794,3 +816,30 @@ def test_31_export_savedmodel(workspace, monkeypatch, capsys, tmp_path):
                                   np.asarray(want["classes"]))
     np.testing.assert_allclose(got["boxes"], np.asarray(want["boxes"]),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_32_kmeans_anchors_cli(workspace, monkeypatch, capsys):
+    """Anchor estimation CLI: prints an INI-ready anchors line computed
+    from the cached phase (Darknet calc_anchors analogue)."""
+    _ensure_prereqs(workspace, monkeypatch)
+    capsys.readouterr()
+    _run("cli.kmeans_anchors", [
+        "-c", str(workspace / "test.ini"), "--num", "2", "--seed", "3",
+    ], monkeypatch)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].startswith("#") and "mean best-IoU" in out[0]
+    line = out[-1]
+    assert line.startswith("anchors = ")
+    pairs = [tuple(map(float, p.split(","))) for p in line[10:].split()]
+    assert len(pairs) == 2
+    areas = [w * h for w, h in pairs]
+    assert areas == sorted(areas) and all(a > 0 for a in areas)
+    # the printed line must parse back through the config system
+    ini2 = workspace / "anch.ini"
+    ini2.write_text((workspace / "test.ini").read_text()
+                    .replace("anchors = 1.08,1.19 3.42,4.41",
+                             line))
+    from yolojax.config import load_config
+
+    cfg = load_config([str(workspace / "test.ini"), str(ini2)])
+    assert len(cfg.model.anchors) == 2

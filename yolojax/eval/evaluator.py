@@ -9,7 +9,7 @@ original image coordinates and fed to compute_map.
 from __future__ import annotations
 
 import logging
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +56,47 @@ def make_infer_fn(model: Model, *, score_thresh: float, iou_thresh: float,
         )
 
     return infer
+
+
+def _dump_coco_json(path, detections, ground_truth, num_images,
+                    num_classes, box_scale, class_names=None):
+    """Write the eval set + detections as one COCO-format JSON for
+    external cross-checking: ``gt`` loads into ``pycocotools.COCO()``,
+    ``detections`` into ``COCO.loadRes()`` — so the reported metrics can
+    be re-scored with the canonical scorer on any host that has it (this
+    sandbox does not). Boxes are converted from canvas-normalized
+    (ymin, xmin, ymax, xmax) to COCO's pixel [x, y, w, h]; category ids
+    are 1-based per COCO convention."""
+    import json as _json
+
+    def xywh(box):
+        y0, x0, y1, x1 = (float(v) * box_scale for v in box)
+        return [x0, y0, max(x1 - x0, 0.0), max(y1 - y0, 0.0)]
+
+    names = list(class_names or [])
+    gt = {
+        "images": [{"id": i, "width": int(box_scale),
+                    "height": int(box_scale)} for i in range(num_images)],
+        "categories": [
+            {"id": c + 1,
+             "name": names[c] if c < len(names) else f"class_{c}"}
+            for c in range(num_classes)
+        ],
+        "annotations": [
+            {"id": i + 1, "image_id": int(img), "category_id": int(cls) + 1,
+             "bbox": (b := xywh(box)), "area": b[2] * b[3], "iscrowd": 0}
+            for i, (img, cls, box) in enumerate(ground_truth)
+        ],
+    }
+    results = [
+        {"image_id": int(img), "category_id": int(cls) + 1,
+         "bbox": xywh(box), "score": float(score)}
+        for img, cls, score, box in detections
+    ]
+    with open(path, "w") as f:
+        _json.dump({"gt": gt, "detections": results}, f)
+    log.info("eval: dumped COCO-format GT + %d detections -> %s",
+             len(results), path)
 
 
 def _allgather_shards(detections, ground_truth, num_images, n_proc):
@@ -138,6 +179,8 @@ def evaluate_model(
     coco: bool = False,  # add COCO-style AP@[.50:.95] + size bins
     data_parallel: Optional[bool] = None,  # None = auto (all local devices)
     distributed: bool = False,  # multi-host: shard the cache per process
+    dump_path: Optional[str] = None,  # write COCO-format GT+results JSON
+    class_names: Optional[Sequence[str]] = None,  # labels for the dump
 ) -> Dict[str, float]:
     """Run detection over a cached phase and return VOC AP metrics.
 
@@ -261,6 +304,9 @@ def evaluate_model(
     if distributed:
         detections, ground_truth, img_id = _allgather_shards(
             detections, ground_truth, img_id, n_proc)
+    if dump_path and jax.process_index() == 0:
+        _dump_coco_json(dump_path, detections, ground_truth, img_id,
+                        model.num_classes, float(input_dim), class_names)
     metrics = compute_map(detections, ground_truth, model.num_classes,
                           iou_thresh=map_iou)
     if coco:
