@@ -4,6 +4,7 @@
 SURVEY.md §4); this implements the protocol its mAP targets are scored by.
 
 Usage: python3 cli/eval.py -c config.ini --weights W [--phase test]
+       ... --artifact model.yjsa   # score an AOT artifact (cli/export.py)
 """
 
 import os
@@ -16,7 +17,14 @@ from yolojax.utils.cli import make_parser, setup  # noqa: E402
 
 def main():
     parser = make_parser(__doc__)
-    parser.add_argument("--weights", required=True)
+    parser.add_argument("--weights", default="")
+    parser.add_argument("--artifact", default="",
+                        help="score an AOT serving artifact (cli/export.py)"
+                             " instead of live weights: the baked graph — "
+                             "its thresholds, top-K, NMS, precision — is "
+                             "what gets mAP'd, exactly as a deployment "
+                             "host would run it (detect.* knobs and "
+                             "eval.data_parallel don't apply)")
     parser.add_argument("--phase", default="test")
     parser.add_argument("--max-batches", type=int, default=0)
     parser.add_argument("--coco", action="store_true",
@@ -29,6 +37,8 @@ def main():
                              "pycocotools")
     args = parser.parse_args()
     cfg = setup(args)
+    if bool(args.weights) == bool(args.artifact):
+        parser.error("exactly one of --weights or --artifact is required")
 
     import json
 
@@ -45,8 +55,8 @@ def main():
     from yolojax.eval.evaluator import evaluate_model
     from yolojax.utils.restore import load_weights
 
-    model = cfg.build_model()
-    eval_dist = cfg.eval.distributed and multi_process
+    model = cfg.build_model() if args.weights else None
+    eval_dist = cfg.eval.distributed and multi_process and not args.artifact
 
     def _sync_done():
         # Park every process on a barrier until the primary's (possibly
@@ -61,34 +71,58 @@ def main():
         _sync_done()
         return  # non-distributed eval has no collectives; primary-only
     try:
-        params, bn_state = load_weights(args.weights, model, cfg.model.dim)
-        params = jax.tree_util.tree_map(jnp.asarray, params)
-        bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
         cache = load_cache(cfg.cache.basedir, args.phase)
-        metrics = evaluate_model(
-            model, params, bn_state, cache,
-            input_dim=cfg.model.dim,
-            batch_size=cfg.eval.batch_size,
-            nms_iou=cfg.detect.nms_iou,
-            top_k=cfg.detect.top_k,
-            map_iou=cfg.eval.map_iou,
-            use_pallas=cfg.detect.use_pallas,
-            candidates=cfg.detect.candidates,
-            fuse_stem_impl=cfg.detect.fuse_stem,
-            compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
-            else jnp.bfloat16,
-            max_batches=args.max_batches or None,
-            stretch=cfg.detect.stretch,
-            max_detections=cfg.eval.max_detections,
-            int8=cfg.detect.use_int8,
-            calib_images=cfg.detect.calib_images,
-            calib_percentile=cfg.detect.calib_percentile,
-            coco=args.coco,
-            data_parallel=cfg.eval.data_parallel_flag(),
-            distributed=eval_dist,
-            dump_path=args.dump or None,
-            class_names=cfg.names(),
-        )
+        if args.artifact:
+            from cli.detect import load_artifact_detector, sync_artifact_cfg
+
+            (names, dim, infer_art, fixed_batch), meta = (
+                load_artifact_detector(args.artifact))
+            cfg = sync_artifact_cfg(cfg, meta)
+            metrics = evaluate_model(
+                None, None, None, cache,
+                input_dim=dim,
+                batch_size=fixed_batch,
+                map_iou=cfg.eval.map_iou,
+                max_batches=args.max_batches or None,
+                stretch=cfg.detect.stretch,
+                max_detections=cfg.eval.max_detections,
+                coco=args.coco,
+                dump_path=args.dump or None,
+                class_names=names,
+                infer_override=infer_art,
+                fixed_batch=fixed_batch,
+                num_classes=len(names),
+            )
+        else:
+            names = cfg.names()
+            params, bn_state = load_weights(args.weights, model,
+                                            cfg.model.dim)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
+            bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
+            metrics = evaluate_model(
+                model, params, bn_state, cache,
+                input_dim=cfg.model.dim,
+                batch_size=cfg.eval.batch_size,
+                nms_iou=cfg.detect.nms_iou,
+                top_k=cfg.detect.top_k,
+                map_iou=cfg.eval.map_iou,
+                use_pallas=cfg.detect.use_pallas,
+                candidates=cfg.detect.candidates,
+                fuse_stem_impl=cfg.detect.fuse_stem,
+                compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
+                else jnp.bfloat16,
+                max_batches=args.max_batches or None,
+                stretch=cfg.detect.stretch,
+                max_detections=cfg.eval.max_detections,
+                int8=cfg.detect.use_int8,
+                calib_images=cfg.detect.calib_images,
+                calib_percentile=cfg.detect.calib_percentile,
+                coco=args.coco,
+                data_parallel=cfg.eval.data_parallel_flag(),
+                distributed=eval_dist,
+                dump_path=args.dump or None,
+                class_names=names,
+            )
     finally:
         if multi_process and not eval_dist:
             # release the parked non-primaries even when the primary fails
@@ -97,7 +131,6 @@ def main():
             _sync_done()
     if multi_process and jax.process_index() != 0:
         return  # distributed metrics are identical everywhere; primary prints
-    names = cfg.names()
     for c, name in enumerate(names):
         if f"ap_{c}" in metrics:
             print(f"AP {name:>16s}: {metrics[f'ap_{c}']:.4f}")

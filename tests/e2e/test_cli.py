@@ -818,6 +818,41 @@ def test_31_export_savedmodel(workspace, monkeypatch, capsys, tmp_path):
                                atol=1e-5, rtol=1e-4)
 
 
+def test_33_eval_artifact(workspace, monkeypatch, capsys, tmp_path):
+    """cli/eval.py --artifact: mAP-score an AOT serving artifact. The
+    baked graph must reproduce the live --weights eval metrics exactly
+    (same fold + infer graph, thresholds matching eval's score_thresh)."""
+    _ensure_prereqs(workspace, monkeypatch)
+    art = str(tmp_path / "eval_model.yjsa")
+    # eval scores at score_thresh=0.005; bake the same threshold so the
+    # artifact's graph and the live eval graph are the identical program
+    _run("cli.export", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--out", art, "--batch", "4", "detect.threshold=0.005",
+    ], monkeypatch)
+    capsys.readouterr()
+
+    def eval_json(extra):
+        _run("cli.eval", [
+            "-c", str(workspace / "test.ini"), "--phase", "test", *extra,
+        ], monkeypatch)
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    want = eval_json(["--weights", str(workspace / "logdir" / "yolo2_tiny")])
+    got = eval_json(["--artifact", art])
+    assert got["num_images"] == want["num_images"]
+    assert got["num_detections"] == want["num_detections"]
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-6, err_msg=k)
+
+    # exactly one of --weights/--artifact
+    with pytest.raises(SystemExit):
+        _run("cli.eval", ["-c", str(workspace / "test.ini"),
+                          "--weights", "w", "--artifact", art], monkeypatch)
+    capsys.readouterr()
+
+
 def test_32_kmeans_anchors_cli(workspace, monkeypatch, capsys):
     """Anchor estimation CLI: prints an INI-ready anchors line computed
     from the cached phase (Darknet calc_anchors analogue)."""

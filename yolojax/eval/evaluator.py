@@ -154,7 +154,7 @@ def _allgather_shards(detections, ground_truth, num_images, n_proc):
 
 
 def evaluate_model(
-    model: Model,
+    model: Optional[Model],
     params,
     bn_state,
     cache: DatasetCache,
@@ -181,6 +181,9 @@ def evaluate_model(
     distributed: bool = False,  # multi-host: shard the cache per process
     dump_path: Optional[str] = None,  # write COCO-format GT+results JSON
     class_names: Optional[Sequence[str]] = None,  # labels for the dump
+    infer_override=None,  # callable(images) -> serving dict (AOT artifact)
+    fixed_batch: Optional[int] = None,  # artifact's baked batch (pad to it)
+    num_classes: Optional[int] = None,  # required when model is None
 ) -> Dict[str, float]:
     """Run detection over a cached phase and return VOC AP metrics.
 
@@ -194,7 +197,25 @@ def evaluate_model(
     """
     n_proc = jax.process_count()
     distributed = distributed and n_proc > 1
-    if fold or int8:
+    n_cls = model.num_classes if model is not None else num_classes
+    if n_cls is None:
+        raise ValueError("num_classes is required when model is None")
+    mesh = None
+    if infer_override is not None:
+        # AOT artifact path: the serving graph (thresholds, NMS, top-K,
+        # precision, weights) is baked — fold/int8/mesh knobs don't apply.
+        # Metric-level parity with the live path is the point: the same
+        # protocol scores the artifact a deployment host would run.
+        if distributed:
+            raise ValueError("artifact eval is single-process (the baked "
+                             "graph has no shard axis); unset "
+                             "eval.distributed")
+        if fixed_batch:
+            batch_size = fixed_batch  # loader batches must match the graph
+
+        def infer(p, b, x):
+            return infer_override(x)
+    elif fold or int8:
         from yolojax.convert.fold import fold_bn
 
         model, params, bn_state = fold_bn(model, params, bn_state)
@@ -218,9 +239,10 @@ def evaluate_model(
     # int8 stays single-device on auto (quantized serving is usually
     # latency-oriented), but an explicit data_parallel=True replicates the
     # quantized constants over the mesh and shards like the bf16 path.
-    mesh = None
     n_local = len(jax.local_devices())
-    if int8 and data_parallel is None:
+    if infer_override is not None:
+        data_parallel = False  # the artifact owns its device placement
+    elif int8 and data_parallel is None:
         data_parallel = False
     if data_parallel or (data_parallel is None and n_local > 1):
         from yolojax.parallel.mesh import batch_sharding, make_mesh, replicated
@@ -229,7 +251,9 @@ def evaluate_model(
         params = jax.device_put(params, replicated(mesh))
         bn_state = jax.device_put(bn_state, replicated(mesh))
         log.info("eval: data-parallel over %d local devices", n_local)
-    if int8:
+    if infer_override is not None:
+        pass  # infer already bound to the artifact graph above
+    elif int8:
         import dataclasses as _dc
 
         from yolojax.quantize.ptq import quantize_model
@@ -258,14 +282,19 @@ def evaluate_model(
                               compute_dtype=compute_dtype)
 
     def place(images_np):
-        if mesh is None:
-            return jnp.asarray(images_np), images_np.shape[0]
         n_actual = images_np.shape[0]
-        pad = (-n_actual) % mesh.shape["data"]
-        if pad:  # short last batch: pad to shardable, ignore the extras
+        if fixed_batch:  # artifact graphs take exactly (fixed_batch, ...)
+            pad = fixed_batch - n_actual
+        elif mesh is not None:
+            pad = (-n_actual) % mesh.shape["data"]
+        else:
+            return jnp.asarray(images_np), n_actual
+        if pad:  # short last batch: pad to shape, ignore the extras
             images_np = np.concatenate(
                 [images_np, np.zeros((pad,) + images_np.shape[1:],
                                      images_np.dtype)])
+        if mesh is None:
+            return jnp.asarray(images_np), n_actual
         return jax.device_put(images_np, batch_sharding(mesh)), n_actual
 
     detections = []
@@ -306,8 +335,8 @@ def evaluate_model(
             detections, ground_truth, img_id, n_proc)
     if dump_path and jax.process_index() == 0:
         _dump_coco_json(dump_path, detections, ground_truth, img_id,
-                        model.num_classes, float(input_dim), class_names)
-    metrics = compute_map(detections, ground_truth, model.num_classes,
+                        n_cls, float(input_dim), class_names)
+    metrics = compute_map(detections, ground_truth, n_cls,
                           iou_thresh=map_iou)
     if coco:
         from yolojax.eval.voc_map import compute_coco_map
@@ -315,7 +344,7 @@ def evaluate_model(
         # boxes are canvas-normalized; scale areas to canvas pixels so the
         # COCO small/medium/large bins mean what they do in COCO
         metrics.update(compute_coco_map(detections, ground_truth,
-                                        model.num_classes,
+                                        n_cls,
                                         box_scale=float(input_dim)))
     metrics["num_images"] = img_id
     metrics["num_detections"] = len(detections)
