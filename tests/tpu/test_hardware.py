@@ -153,3 +153,69 @@ use_pallas = always
     run_cli("cli.detect", ["-c", str(ini), "--weights", weights,
                            "--image", img, "--out", out], monkeypatch)
     assert os.path.exists(out)
+
+
+def test_artifact_roundtrip_on_chip(tpu_backend, tmp_path, monkeypatch,
+                                    capsys):
+    """AOT artifact on hardware: the baked StableHLO graph (incl. the
+    Mosaic-lowered Pallas NMS) must deserialize, execute on the chip, and
+    reproduce the live --weights detections exactly. Serialization
+    surviving interpret mode does not prove Mosaic custom-calls do."""
+    import cv2
+
+    from tests.util import run_cli
+    from yolojax.convert.store import save_params_npz
+    from yolojax.models import get_model
+
+    jax = tpu_backend
+    model = get_model("yolo2", "tiny", num_classes=20,
+                      anchors=((1.08, 1.19), (3.42, 4.41)))
+    params, state = model.init(jax.random.PRNGKey(2), 64)
+    weights = str(tmp_path / "w.npz")
+    save_params_npz(weights, params, state)
+    img = str(tmp_path / "in.jpg")
+    cv2.imwrite(img, np.random.RandomState(3).randint(
+        0, 255, (90, 120, 3), np.uint8))
+    ini = tmp_path / "t.ini"
+    ini.write_text(f"""
+[model]
+model = yolo2
+inference = tiny
+dim = 64
+names_file = {REPO}/config/names/voc.txt
+anchors = 1.08,1.19 3.42,4.41
+[detect]
+threshold = 0.0001
+top_k = 64
+use_pallas = always
+""")
+    art = str(tmp_path / "m.yjsa")
+    run_cli("cli.export", ["-c", str(ini), "--weights", weights,
+                           "--out", art, "--batch", "1"], monkeypatch)
+    head = capsys.readouterr().out
+    assert "platforms=tpu" in head, head
+
+    import re
+
+    def detect(extra):
+        run_cli("cli.detect", ["-c", str(ini), *extra, "--image", img],
+                monkeypatch)
+        rows = []
+        for line in capsys.readouterr().out.splitlines():
+            m = re.match(r".*: (\w+) ([\d.]+) \[(-?\d+), (-?\d+), "
+                         r"(-?\d+), (-?\d+)\]", line)
+            if m:
+                rows.append((m.group(1), float(m.group(2)),
+                             *(int(g) for g in m.groups()[2:])))
+        return sorted(rows)
+
+    want = detect(["--weights", weights])
+    got = detect(["--artifact", art])
+    assert want and len(got) == len(want)
+    # the deserialized program may recompile with different fusion
+    # choices: same detections, but box rounding can move 1px at a
+    # pixel boundary and scores an ULP at the printed 3rd decimal
+    for w, g in zip(want, got):
+        assert g[0] == w[0], (g, w)
+        assert abs(g[1] - w[1]) <= 2e-3, (g, w)
+        assert all(abs(a - b) <= 1 for a, b in zip(g[2:], w[2:])), (g, w)
