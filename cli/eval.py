@@ -72,26 +72,48 @@ def main():
         return  # non-distributed eval has no collectives; primary-only
     try:
         cache = load_cache(cfg.cache.basedir, args.phase)
+        # kwargs shared VERBATIM by both branches: a drift between them
+        # would silently skew the live-vs-artifact metric parity the
+        # --artifact mode exists to prove (tests/e2e test_33)
+        shared = dict(
+            map_iou=cfg.eval.map_iou,
+            max_batches=args.max_batches or None,
+            max_detections=cfg.eval.max_detections,
+            coco=args.coco,
+            dump_path=args.dump or None,
+        )
         if args.artifact:
+            import logging
+
             from cli.detect import load_artifact_detector, sync_artifact_cfg
+            from yolojax.eval.evaluator import EVAL_SCORE_THRESH
 
             (names, dim, infer_art, fixed_batch), meta = (
                 load_artifact_detector(args.artifact))
             cfg = sync_artifact_cfg(cfg, meta)
+            baked = float(meta.get("threshold", EVAL_SCORE_THRESH))
+            if baked > EVAL_SCORE_THRESH:
+                # PR curves need the low-confidence tail; a serving-grade
+                # baked threshold truncates it, and the resulting mAP is
+                # NOT comparable to a --weights eval (which scores at
+                # EVAL_SCORE_THRESH) — say so instead of letting the gap
+                # read as a serialization regression
+                logging.getLogger("eval").warning(
+                    "artifact bakes detect.threshold=%g > the eval "
+                    "protocol's %g: mAP/AR will undercount the PR tail; "
+                    "export with detect.threshold=%g for metrics "
+                    "comparable to --weights eval",
+                    baked, EVAL_SCORE_THRESH, EVAL_SCORE_THRESH)
             metrics = evaluate_model(
                 None, None, None, cache,
                 input_dim=dim,
                 batch_size=fixed_batch,
-                map_iou=cfg.eval.map_iou,
-                max_batches=args.max_batches or None,
                 stretch=cfg.detect.stretch,
-                max_detections=cfg.eval.max_detections,
-                coco=args.coco,
-                dump_path=args.dump or None,
                 class_names=names,
                 infer_override=infer_art,
                 fixed_batch=fixed_batch,
                 num_classes=len(names),
+                **shared,
             )
         else:
             names = cfg.names()
@@ -105,23 +127,19 @@ def main():
                 batch_size=cfg.eval.batch_size,
                 nms_iou=cfg.detect.nms_iou,
                 top_k=cfg.detect.top_k,
-                map_iou=cfg.eval.map_iou,
                 use_pallas=cfg.detect.use_pallas,
                 candidates=cfg.detect.candidates,
                 fuse_stem_impl=cfg.detect.fuse_stem,
                 compute_dtype=jnp.float32 if jax.default_backend() == "cpu"
                 else jnp.bfloat16,
-                max_batches=args.max_batches or None,
                 stretch=cfg.detect.stretch,
-                max_detections=cfg.eval.max_detections,
                 int8=cfg.detect.use_int8,
                 calib_images=cfg.detect.calib_images,
                 calib_percentile=cfg.detect.calib_percentile,
-                coco=args.coco,
                 data_parallel=cfg.eval.data_parallel_flag(),
                 distributed=eval_dist,
-                dump_path=args.dump or None,
                 class_names=names,
+                **shared,
             )
     finally:
         if multi_process and not eval_dist:

@@ -209,10 +209,21 @@ def main():
                        if p.endswith(suffix)), reverse=True)
         for old in kept[max(tcfg.keep_checkpoints, 1):]:
             os.unlink(_state_path(old))
+        if _proc == 0:  # pre-suffix layout files would otherwise pile up
+            for p in os.listdir(loader_state_dir):
+                if p.endswith(".bin") and p[:-4].isdigit():
+                    os.unlink(os.path.join(loader_state_dir, p))
 
     if grain_stream is not None and start_step is not None:
-        if os.path.exists(_state_path(start_step)):
-            with open(_state_path(start_step), "rb") as f:
+        state_file = _state_path(start_step)
+        if not os.path.exists(state_file) and _proc == 0:
+            # pre-per-process-suffix layout (<step>.bin): honor it on the
+            # primary so old runs keep their mid-epoch resume guarantee
+            legacy = os.path.join(loader_state_dir, f"{int(start_step)}.bin")
+            if os.path.exists(legacy):
+                state_file = legacy
+        if os.path.exists(state_file):
+            with open(state_file, "rb") as f:
                 grain_stream.set_state(f.read())
             log.info("restored grain loader state for step %d", start_step)
         else:

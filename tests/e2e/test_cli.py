@@ -401,6 +401,21 @@ def test_17_train_with_grain_loader(workspace, monkeypatch, tmp_path):
                for l in open(tmp_path / "grainlog" / "yolo2_tiny" / "metrics.jsonl")]
     steps = [m["step"] for m in metrics]
     assert steps.count(3) == 1 and steps.count(2) == 1
+    # legacy pre-suffix layout (<step>.bin from older runs): the primary
+    # must fall back to it on restore, and prune it after the next save
+    (state_dir / "3.p0.bin").rename(state_dir / "3.bin")
+    _run("cli.train", [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/grainlog",
+        "train.steps=4",
+        "queue.loader=grain",
+    ], monkeypatch)
+    metrics = [json.loads(l)
+               for l in open(tmp_path / "grainlog" / "yolo2_tiny" / "metrics.jsonl")]
+    steps = [m["step"] for m in metrics]
+    assert steps.count(4) == 1 and steps.count(3) == 1
+    assert (state_dir / "4.p0.bin").exists()
+    assert not (state_dir / "3.bin").exists()  # legacy file pruned
 
 
 def test_18_train_tensor_parallel_cli(workspace, monkeypatch, tmp_path):
@@ -682,7 +697,8 @@ def test_27_export_artifact_and_serve(workspace, monkeypatch, capsys,
     assert stream_out  # same graph, same detections on image 0
     assert set(stream_out) <= set(want)
 
-    # error paths: bad magic, wrong batch for --stdin
+    # error path: bad magic (wrong --stdin batch is pinned by test_33,
+    # which has a batch-4 artifact in hand)
     bad = tmp_path / "bad.yjsa"
     bad.write_bytes(b"not an artifact")
     with pytest.raises(ValueError, match="bad magic"):
@@ -850,6 +866,19 @@ def test_33_eval_artifact(workspace, monkeypatch, capsys, tmp_path):
     with pytest.raises(SystemExit):
         _run("cli.eval", ["-c", str(workspace / "test.ini"),
                           "--weights", "w", "--artifact", art], monkeypatch)
+    capsys.readouterr()
+
+    # --stdin serving demands a batch-1 artifact: this batch-4 export must
+    # be rejected with the re-export hint, not crash inside the jit call
+    import io
+
+    from cli.detect import load_artifact_detector, run_stream
+    from yolojax.config import YoloJaxConfig
+
+    detector, _meta = load_artifact_detector(art)
+    with pytest.raises(SystemExit, match="re-export"):
+        run_stream(YoloJaxConfig(), "", lines=io.StringIO(""),
+                   detector=detector)
     capsys.readouterr()
 
 

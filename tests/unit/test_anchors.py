@@ -60,3 +60,12 @@ def test_cache_box_shapes_letterbox_vs_stretch():
     # h = 0.5*100*2.08/32 (aspect preserved, so h is half of w)
     lb = cache_box_shapes(FakeCache(), dim, stretch=False)
     np.testing.assert_allclose(lb, [[6.5, 3.25]])
+
+
+def test_kmeans_degenerate_identical_boxes():
+    # all boxes identical: k-means++ distances are all zero; must not
+    # crash, and every centroid collapses onto the single shape
+    wh = np.tile([[3.0, 4.0]], (10, 1))
+    anchors, mean_iou = kmeans_anchors(wh, 3, seed=0)
+    np.testing.assert_allclose(anchors, [[3, 4]] * 3)
+    assert mean_iou == 1.0

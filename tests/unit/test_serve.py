@@ -71,3 +71,12 @@ def test_platform_mismatch_rejected(exported, tmp_path):
                   + raw[len(MAGIC) + 4 + n:])
     with pytest.raises(ValueError, match="exported for"):
         load_artifact(str(p))
+
+
+def test_directory_rejected(tmp_path):
+    # a SavedModel export dir passed to --artifact must get the friendly
+    # error, not an IsADirectoryError traceback
+    from yolojax.serve import load_artifact
+
+    with pytest.raises(ValueError, match="directory"):
+        load_artifact(str(tmp_path))

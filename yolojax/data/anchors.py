@@ -51,8 +51,12 @@ def kmeans_anchors(
     centroids = wh[rng.randint(n)][None]
     while len(centroids) < k:
         d = 1.0 - _iou_wh(wh, centroids).max(axis=1)
-        p = d / max(d.sum(), 1e-12)
-        centroids = np.concatenate([centroids, wh[rng.choice(n, p=p)][None]])
+        total = d.sum()
+        if total <= 0:  # all boxes coincide with a centroid already
+            pick = rng.randint(n)
+        else:
+            pick = rng.choice(n, p=d / total)
+        centroids = np.concatenate([centroids, wh[pick][None]])
 
     assign = np.full(n, -1)
     for _ in range(iters):

@@ -23,6 +23,11 @@ from yolojax.postprocess.nms import postprocess_v1, postprocess_v2
 
 log = logging.getLogger(__name__)
 
+# The eval protocol's score floor: low enough to keep the PR tail mAP/AR
+# integrate over. Artifacts exported for eval must bake this (cli/eval.py
+# warns when a serving-grade threshold was baked instead).
+EVAL_SCORE_THRESH = 0.005
+
 
 def make_infer_fn(model: Model, *, score_thresh: float, iou_thresh: float,
                   top_k: int, use_pallas: str = "auto",
@@ -161,7 +166,7 @@ def evaluate_model(
     *,
     input_dim: int,
     batch_size: int = 32,
-    score_thresh: float = 0.005,  # low threshold for proper PR curves
+    score_thresh: float = EVAL_SCORE_THRESH,  # low: keep the PR tail
     nms_iou: float = 0.45,
     top_k: int = 256,
     map_iou: float = 0.5,

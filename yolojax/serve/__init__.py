@@ -85,9 +85,16 @@ def load_artifact(path: str) -> ServingArtifact:
     Raises ``ValueError`` on a bad magic/truncated file and when the
     current JAX backend is not among the artifact's export platforms
     (an artifact exported on TPU cannot run on CPU and vice versa)."""
+    import os
+
     import jax
     from jax import export as jexport
 
+    if os.path.isdir(path):
+        raise ValueError(
+            f"{path}: is a directory, not a serving artifact — a "
+            f"SavedModel export (--format savedmodel) serves under TF "
+            f"Serving, not --artifact; use --format artifact output here")
     with open(path, "rb") as f:
         head = f.read(len(MAGIC))
         if head != MAGIC:
