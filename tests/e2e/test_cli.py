@@ -882,6 +882,44 @@ def test_33_eval_artifact(workspace, monkeypatch, capsys, tmp_path):
     capsys.readouterr()
 
 
+def test_34_export_artifact_v1_family(workspace, monkeypatch, capsys,
+                                      tmp_path):
+    """AOT artifact export covers the YOLOv1 family too (FC head +
+    postprocess_v1 in the baked graph): artifact detections must equal
+    the live --weights path exactly on CPU."""
+    import jax
+
+    from yolojax.convert.store import save_params_npz
+    from yolojax.models import get_model
+
+    _ensure_prereqs(workspace, monkeypatch)
+    model = get_model("yolo", "tiny", num_classes=20, grid=1,
+                      boxes_per_cell=2)
+    params, state = model.init(jax.random.PRNGKey(5), 64)
+    weights = str(tmp_path / "v1.npz")
+    save_params_npz(weights, params, state)
+    ini = tmp_path / "v1art.ini"
+    ini.write_text((workspace / "test.ini").read_text().replace(
+        "model = yolo2\ninference = tiny",
+        "model = yolo\ninference = tiny\ngrid = 1\nboxes_per_cell = 2"))
+    art = str(tmp_path / "v1.yjsa")
+    _run("cli.export", ["-c", str(ini), "--weights", weights,
+                        "--out", art, "--batch", "1",
+                        "detect.threshold=0.0001"], monkeypatch)
+    capsys.readouterr()
+    img = str(workspace / "voc" / "JPEGImages" / "000002.jpg")
+
+    def detect(extra):
+        _run("cli.detect", ["-c", str(ini), *extra, "--image", img,
+                            "detect.threshold=0.0001"], monkeypatch)
+        return sorted(l for l in capsys.readouterr().out.splitlines()
+                      if ": " in l)
+
+    want = detect(["--weights", weights])
+    got = detect(["--artifact", art])
+    assert want and got == want
+
+
 def test_32_kmeans_anchors_cli(workspace, monkeypatch, capsys):
     """Anchor estimation CLI: prints an INI-ready anchors line computed
     from the cached phase (Darknet calc_anchors analogue)."""
