@@ -267,3 +267,56 @@ def test_allgather_shards_roundtrip_single_process():
     # empty shards: no detections at all must not crash the collectives
     d3, g3, n3 = _allgather_shards([], [], 0, 1)
     assert d3 == [] and g3 == [] and n3 == 0
+
+
+def test_evaluate_model_difficult_gt_ignored(tmp_path):
+    """Full-stack VOC difficult protocol: every GT box is duplicated as a
+    *difficult* twin. Honored flags mean the twins are ignored (excluded
+    from npos, matches to them uncounted) so mAP stays at the easy-only
+    score; if the flags were lost anywhere in the cache -> loader ->
+    evaluator -> compute_map chain, npos doubles and recall can never
+    exceed 0.5 (one detection cannot match both duplicates), tanking mAP
+    deterministically."""
+    import cv2
+
+    from yolojax.data.cache import DatasetCache
+    from yolojax.eval.evaluator import evaluate_model
+
+    model, ts, batch, _ = _trained()
+    images, boxes, classes, valid = batch
+    n, dim = images.shape[0], images.shape[1]
+
+    paths, offs, all_boxes, all_cls, all_diff = [], [0], [], [], []
+    for i in range(n):
+        p = str(tmp_path / f"{i:03d}.png")
+        cv2.imwrite(p, cv2.cvtColor(
+            (np.asarray(images[i]) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
+        paths.append(p)
+        for g in np.where(np.asarray(valid[i]))[0]:
+            for diff in (False, True):  # easy row + difficult twin
+                all_boxes.append(np.asarray(boxes[i, g]))
+                all_cls.append(int(classes[i, g]))
+                all_diff.append(diff)
+        offs.append(len(all_boxes))
+
+    def make_cache(difficult):
+        return DatasetCache(
+            paths=np.asarray(paths),
+            sizes=np.tile([[dim, dim]], (n, 1)),
+            offsets=np.asarray(offs, np.int64),
+            boxes=np.asarray(all_boxes, np.float32),
+            classes=np.asarray(all_cls, np.int32),
+            names=("red", "blue"),
+            difficult=np.asarray(difficult, bool),
+        )
+
+    kw = dict(input_dim=dim, batch_size=4, nms_iou=0.45, top_k=128,
+              compute_dtype=jnp.float32)
+    m_ign = evaluate_model(model, ts.params, ts.bn_state,
+                           make_cache(all_diff), **kw)
+    assert m_ign["map"] >= 0.5, m_ign
+
+    # same rows with the flags erased: twins count, recall caps at 0.5
+    m_lost = evaluate_model(model, ts.params, ts.bn_state,
+                            make_cache([False] * len(all_diff)), **kw)
+    assert m_lost["map"] <= 0.6 * m_ign["map"], (m_ign["map"], m_lost["map"])

@@ -282,3 +282,64 @@ def test_augment_zero_saturation_exposure_is_identity_not_nan():
                                 32, cfg)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(imgs), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# VOC difficult objects: kept in the cache with a flag, excluded from the
+# training view, surfaced to the evaluator (VOC ignore protocol)
+# ---------------------------------------------------------------------------
+
+
+def test_difficult_flagged_not_dropped(tmp_path):
+    root = str(tmp_path / "voc")
+    _write_voc_impl(root, n_images=8, boxes_per_image=(2, 5),
+                    difficult_frac=0.5)
+    out = str(tmp_path / "cache")
+    cache = build_cache(out, "trainval",
+                        [{"kind": "voc", "root": root,
+                          "image_set": "trainval"}])
+    assert cache.difficult.any() and not cache.difficult.all()
+    # training view excludes, eval view includes
+    n_train = sum(len(cache.example(i)[1]) for i in range(len(cache)))
+    n_all = sum(len(cache.example_eval(i)[1]) for i in range(len(cache)))
+    assert n_train == int((~cache.difficult).sum())
+    assert n_all == len(cache.difficult)
+    # flags survive the npz roundtrip
+    loaded = load_cache(out, "trainval")
+    np.testing.assert_array_equal(loaded.difficult, cache.difficult)
+    # and per-example flags align with boxes
+    _, _, _, d0 = loaded.example_eval(0)
+    lo, hi = loaded.offsets[0], loaded.offsets[1]
+    np.testing.assert_array_equal(d0, loaded.difficult[lo:hi])
+
+
+def test_legacy_cache_without_difficult_loads(tmp_path, voc_cache):
+    """Caches written before the difficult flag existed load as all-easy."""
+    import os
+    import shutil
+
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    shutil.copy(os.path.join(voc_cache, "names.txt"), legacy)
+    z = dict(np.load(os.path.join(voc_cache, "trainval.npz"),
+                     allow_pickle=False))
+    z.pop("difficult", None)
+    np.savez(os.path.join(legacy, "trainval.npz"), **z)
+    cache = load_cache(legacy, "trainval")
+    assert cache.difficult.shape == cache.classes.shape
+    assert not cache.difficult.any()
+
+
+def test_letterbox_transform_matches_host():
+    """letterbox_transform(w, h, dim) must reproduce letterbox_host's
+    geometry exactly (the evaluator maps difficult GT with it)."""
+    from yolojax.data.augment import letterbox_transform
+
+    rng = np.random.RandomState(3)
+    for w, h, dim in [(96, 64, 64), (64, 96, 48), (100, 100, 32),
+                      (37, 119, 96)]:
+        img = rng.randint(0, 255, (h, w, 3), np.uint8)
+        for stretch in (False, True):
+            _, tf_host = letterbox_host(img, dim, stretch=stretch)
+            tf_pure = letterbox_transform(w, h, dim, stretch=stretch)
+            assert tf_host == tf_pure, (w, h, dim, stretch)

@@ -48,6 +48,7 @@ def test_cache_box_shapes_letterbox_vs_stretch():
         sizes = np.array([[200, 100]])
         offsets = np.array([0, 1])
         boxes = np.array([[0.5, 0.5, 0.5, 0.5]], np.float32)
+        difficult = np.zeros(1, bool)
 
         def __len__(self):
             return 1

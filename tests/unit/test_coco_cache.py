@@ -40,8 +40,9 @@ def test_parse_coco(tmp_path):
     by_path = {os.path.basename(p): objs for p, _, objs in examples}
     a = by_path["a.jpg"]
     assert len(a) == 2  # crowd skipped
-    cls, cx, cy, w, h = a[0]
+    cls, cx, cy, w, h, diff = a[0]
     assert cls == 1  # car is index 1
+    assert diff == 0  # COCO objects are never 'difficult'
     np.testing.assert_allclose([cx, cy, w, h], [0.5, 0.5, 0.5, 0.5])
     assert by_path["b.jpg"] == []
 

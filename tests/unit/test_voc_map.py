@@ -247,3 +247,78 @@ def test_coco_ar_absent_class_excluded():
            (0, 1, 0.95, np.array([20.0, 20.0, 30.0, 30.0]))]  # class 1: no GT
     m = compute_coco_map(det, gt, 2)
     assert np.isclose(m["ar_100"], 1.0), m
+
+
+# ---------------------------------------------------------------------------
+# VOC difficult ignore semantics (devkit VOCevaldet behavior)
+# ---------------------------------------------------------------------------
+
+
+def _box(x0, y0, x1, y1):
+    return np.asarray([y0, x0, y1, x1], np.float64)
+
+
+def test_difficult_gt_neither_tp_nor_fp():
+    """A detection sitting on a difficult GT is ignored; the same
+    detection against a cache that DROPPED the difficult box is an FP."""
+    from yolojax.eval.voc_map import compute_map
+
+    easy = _box(0.1, 0.1, 0.3, 0.3)
+    diff = _box(0.6, 0.6, 0.8, 0.8)
+    gt = [(0, 0, easy), (0, 0, diff)]
+    dets = [
+        (0, 0, 0.9, diff),   # on the difficult object: ignored
+        (0, 0, 0.8, easy),   # TP
+    ]
+    m = compute_map(dets, gt, 1, gt_difficult=[False, True],
+                    eleven_point=False)
+    assert m["map"] == 1.0, m  # the ignored det does not dent precision
+
+    # legacy drop-at-cache behavior: the top-scored det lands on a GT that
+    # is no longer there -> FP ABOVE the TP -> precision at full recall 1/2
+    m_drop = compute_map(dets, [(0, 0, easy)], 1, eleven_point=False)
+    assert m_drop["map"] == 0.5, m_drop
+
+
+def test_difficult_gt_never_consumed_and_excluded_from_npos():
+    from yolojax.eval.voc_map import compute_map
+
+    diff = _box(0.6, 0.6, 0.8, 0.8)
+    easy = _box(0.1, 0.1, 0.3, 0.3)
+    # two detections on the same difficult GT: BOTH ignored (the devkit
+    # never marks difficult GT as matched)
+    dets = [(0, 0, 0.9, diff), (0, 0, 0.8, diff), (0, 0, 0.7, easy)]
+    m = compute_map(dets, [(0, 0, easy), (0, 0, diff)], 1,
+                    gt_difficult=[False, True], eleven_point=False)
+    assert m["map"] == 1.0, m
+
+    # a class whose only GT is difficult has npos == 0 -> excluded from
+    # the mean entirely (devkit convention), detections unpenalized
+    m2 = compute_map([(0, 1, 0.9, diff)],
+                     [(0, 0, easy), (0, 1, diff)], 2,
+                     gt_difficult=[False, True], eleven_point=False)
+    assert "ap_1" not in m2 and m2["map"] == 0.0, m2
+
+
+def test_coco_metrics_gt_ignore():
+    """compute_coco_map's gt_ignore: matches to ignored GT are not FPs,
+    ignored GT leaves every denominator."""
+    from yolojax.eval.voc_map import compute_coco_map
+
+    easy = _box(0.1, 0.1, 0.4, 0.4)
+    diff = _box(0.6, 0.6, 0.9, 0.9)
+    gt = [(0, 0, easy), (0, 0, diff)]
+    dets = [(0, 0, 0.9, easy), (0, 0, 0.8, diff)]
+    m_ign = compute_coco_map(dets, gt, 1, box_scale=100.0,
+                             gt_ignore=[False, True])
+    assert m_ign["coco_map"] == 1.0, m_ign
+    assert m_ign["ar_100"] == 1.0, m_ign
+    # without the flag the second GT counts: both dets are perfect matches
+    m_all = compute_coco_map(dets, gt, 1, box_scale=100.0)
+    assert m_all["coco_map"] == 1.0
+    # but with the flag and WITHOUT the second det, recall is still full
+    m_half = compute_coco_map(dets[:1], gt, 1, box_scale=100.0,
+                              gt_ignore=[False, True])
+    assert m_half["ar_100"] == 1.0, m_half
+    m_half_all = compute_coco_map(dets[:1], gt, 1, box_scale=100.0)
+    assert m_half_all["ar_100"] == 0.5, m_half_all

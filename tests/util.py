@@ -9,8 +9,9 @@ from yolojax.data.cache import VOC_NAMES
 
 
 def write_synthetic_voc(root, n_images=6, size=(96, 64), seed=0,
-                        boxes_per_image=(1, 4)):
-    """Write a minimal VOC devkit layout with random images + boxes."""
+                        boxes_per_image=(1, 4), difficult_frac=0.0):
+    """Write a minimal VOC devkit layout with random images + boxes.
+    ``difficult_frac`` marks that fraction of objects difficult=1."""
     import cv2
 
     os.makedirs(os.path.join(root, "Annotations"), exist_ok=True)
@@ -32,7 +33,8 @@ def write_synthetic_voc(root, n_images=6, size=(96, 64), seed=0,
             obj = ET.SubElement(ann, "object")
             cls = VOC_NAMES[rng.randint(len(VOC_NAMES))]
             ET.SubElement(obj, "name").text = cls
-            ET.SubElement(obj, "difficult").text = "0"
+            ET.SubElement(obj, "difficult").text = (
+                "1" if rng.rand() < difficult_frac else "0")
             bb = ET.SubElement(obj, "bndbox")
             x0, y0 = rng.randint(0, w - 24), rng.randint(0, h - 24)
             ET.SubElement(bb, "xmin").text = str(x0)

@@ -88,7 +88,8 @@ def cache_box_shapes(
     out = []
     for i in range(len(cache)):
         lo, hi = cache.offsets[i], cache.offsets[i + 1]
-        wh_norm = np.asarray(cache.boxes[lo:hi, 2:4], np.float64)
+        keep = ~cache.difficult[lo:hi]  # cluster what training sees
+        wh_norm = np.asarray(cache.boxes[lo:hi][keep, 2:4], np.float64)
         if not len(wh_norm):
             continue
         if stretch:

@@ -173,6 +173,23 @@ def augment_batch(
 # ---------------------------------------------------------------------------
 
 
+def letterbox_transform(
+    w: int, h: int, dim: int, *, stretch: bool = False
+) -> Tuple[float, float, float, float]:
+    """The pure box transform of :func:`letterbox_host` for a (w, h) source:
+    (scale_x, scale_y, pad_x, pad_y), normalized, with
+    box_canvas = box_image * scale + pad. Lets callers that know only the
+    original size (e.g. the evaluator mapping cached GT to canvas coords)
+    reproduce the loader's geometry exactly without decoding the image.
+    """
+    if stretch:
+        return (1.0, 1.0, 0.0, 0.0)
+    r = min(dim / w, dim / h)
+    nw, nh = int(round(w * r)), int(round(h * r))
+    px, py = (dim - nw) // 2, (dim - nh) // 2
+    return (nw / dim, nh / dim, px / dim, py / dim)
+
+
 def letterbox_host(
     img: np.ndarray, dim: int, *, stretch: bool = False
 ) -> Tuple[np.ndarray, Tuple[float, float, float, float]]:
@@ -190,12 +207,12 @@ def letterbox_host(
         img = img.astype(np.float32) / 255.0
     if stretch:
         out = cv2.resize(img, (dim, dim), interpolation=cv2.INTER_LINEAR)
-        return out.astype(np.float32), (1.0, 1.0, 0.0, 0.0)
-    r = min(dim / w, dim / h)
-    nw, nh = int(round(w * r)), int(round(h * r))
+        return out.astype(np.float32), letterbox_transform(w, h, dim,
+                                                           stretch=True)
+    sx, sy, pxn, pyn = letterbox_transform(w, h, dim)
+    nw, nh = int(round(sx * dim)), int(round(sy * dim))
+    px, py = int(round(pxn * dim)), int(round(pyn * dim))
     resized = cv2.resize(img, (nw, nh), interpolation=cv2.INTER_LINEAR)
     canvas = np.full((dim, dim, 3), 0.5, np.float32)
-    px, py = (dim - nw) // 2, (dim - nh) // 2
     canvas[py : py + nh, px : px + nw] = resized
-    sx, sy = nw / dim, nh / dim
-    return canvas, (sx, sy, px / dim, py / dim)
+    return canvas, (sx, sy, pxn, pyn)

@@ -34,7 +34,15 @@ VOC_NAMES = (
 
 @dataclasses.dataclass
 class DatasetCache:
-    """In-memory view of one phase's cache."""
+    """In-memory view of one phase's cache.
+
+    VOC ``difficult`` objects are KEPT in the cache with a flag (the VOC
+    protocol *ignores* them at eval — dropping them at cache time would
+    turn detections on difficult objects into false positives). Training
+    views (:meth:`example`) exclude them, matching the usual VOC training
+    convention; the evaluator reads :meth:`example_eval` and passes the
+    flags through to the ignore-aware matcher.
+    """
 
     paths: np.ndarray  # (M,) unicode image paths
     sizes: np.ndarray  # (M, 2) original (width, height)
@@ -42,13 +50,26 @@ class DatasetCache:
     boxes: np.ndarray  # (sum_G, 4) normalized xywh float32
     classes: np.ndarray  # (sum_G,) int32
     names: Tuple[str, ...]
+    difficult: np.ndarray = None  # (sum_G,) bool; None -> all False
+
+    def __post_init__(self):
+        if self.difficult is None:
+            self.difficult = np.zeros(len(self.classes), bool)
 
     def __len__(self) -> int:
         return len(self.paths)
 
     def example(self, i: int):
+        """Training view: (path, boxes, classes), difficult excluded."""
         lo, hi = self.offsets[i], self.offsets[i + 1]
-        return self.paths[i], self.boxes[lo:hi], self.classes[lo:hi]
+        keep = ~self.difficult[lo:hi]
+        return self.paths[i], self.boxes[lo:hi][keep], self.classes[lo:hi][keep]
+
+    def example_eval(self, i: int):
+        """Eval view: (path, boxes, classes, difficult), nothing excluded."""
+        lo, hi = self.offsets[i], self.offsets[i + 1]
+        return (self.paths[i], self.boxes[lo:hi], self.classes[lo:hi],
+                self.difficult[lo:hi])
 
 
 # ---------------------------------------------------------------------------
@@ -58,10 +79,15 @@ class DatasetCache:
 
 def parse_voc(
     root: str, image_set: str, names: Sequence[str] = VOC_NAMES,
-    *, skip_difficult: bool = True,
-) -> List[Tuple[str, Tuple[int, int], List[Tuple[int, float, float, float, float]]]]:
+    *, skip_difficult: bool = False,
+) -> List[Tuple[str, Tuple[int, int], List[Tuple[int, float, float, float, float, int]]]]:
     """Parse a PASCAL VOC devkit layout: <root>/{Annotations,JPEGImages,
-    ImageSets/Main/<image_set>.txt}. Returns [(path, (w, h), [(cls, x, y, w, h)])].
+    ImageSets/Main/<image_set>.txt}.
+    Returns [(path, (w, h), [(cls, x, y, w, h, difficult)])].
+
+    ``difficult`` objects are flagged, not dropped (the eval protocol
+    ignores them; see :class:`DatasetCache`). ``skip_difficult=True``
+    restores the legacy drop-at-parse behavior.
     """
     name_to_idx = {n: i for i, n in enumerate(names)}
     set_file = os.path.join(root, "ImageSets", "Main", image_set + ".txt")
@@ -76,9 +102,12 @@ def parse_voc(
         h = float(size.find("height").text)
         objs = []
         for obj in tree.iter("object"):
-            if skip_difficult and obj.find("difficult") is not None:
+            diff = 0
+            if obj.find("difficult") is not None:
                 if (obj.find("difficult").text or "0").strip() == "1":
-                    continue
+                    diff = 1
+            if skip_difficult and diff:
+                continue
             cls_name = obj.find("name").text.strip()
             if cls_name not in name_to_idx:
                 continue
@@ -91,7 +120,7 @@ def parse_voc(
             cy = (ymin + ymax) / 2 / h
             bw = (xmax - xmin) / w
             bh = (ymax - ymin) / h
-            objs.append((name_to_idx[cls_name], cx, cy, bw, bh))
+            objs.append((name_to_idx[cls_name], cx, cy, bw, bh, diff))
         path = os.path.join(root, "JPEGImages", img_id + ".jpg")
         out.append((path, (int(w), int(h)), objs))
     return out
@@ -138,6 +167,7 @@ def parse_coco(
                     (y + bh / 2) / h,
                     bw / w,
                     bh / h,
+                    0,  # COCO has no 'difficult'; crowds are skipped above
                 )
             )
         out.append((os.path.join(image_dir, im["file_name"]), (int(w), int(h)), objs))
@@ -150,13 +180,15 @@ def parse_coco(
 
 
 def _to_cache(examples, names) -> DatasetCache:
-    paths, sizes, offsets, boxes, classes = [], [], [0], [], []
+    paths, sizes, offsets, boxes, classes, difficult = [], [], [0], [], [], []
     for path, size, objs in examples:
         paths.append(path)
         sizes.append(size)
-        for cls, cx, cy, bw, bh in objs:
+        for obj in objs:
+            cls, cx, cy, bw, bh = obj[:5]
             classes.append(cls)
             boxes.append((cx, cy, bw, bh))
+            difficult.append(bool(obj[5]) if len(obj) > 5 else False)
         offsets.append(len(classes))
     return DatasetCache(
         paths=np.asarray(paths),
@@ -165,6 +197,7 @@ def _to_cache(examples, names) -> DatasetCache:
         boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
         classes=np.asarray(classes, np.int32),
         names=tuple(names),
+        difficult=np.asarray(difficult, bool),
     )
 
 
@@ -197,6 +230,7 @@ def build_cache(
         offsets=cache.offsets,
         boxes=cache.boxes,
         classes=cache.classes,
+        difficult=cache.difficult,
     )
     with open(os.path.join(out_dir, "names.txt"), "w") as f:
         f.write("\n".join(names) + "\n")
@@ -212,4 +246,6 @@ def load_cache(cache_dir: str, phase: str) -> DatasetCache:
     return DatasetCache(
         paths=z["paths"], sizes=z["sizes"], offsets=z["offsets"],
         boxes=z["boxes"], classes=z["classes"], names=names,
+        # caches written before the flag existed load as all-easy
+        difficult=z["difficult"] if "difficult" in z.files else None,
     )

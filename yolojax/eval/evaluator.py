@@ -64,7 +64,8 @@ def make_infer_fn(model: Model, *, score_thresh: float, iou_thresh: float,
 
 
 def _dump_coco_json(path, detections, ground_truth, num_images,
-                    num_classes, box_scale, class_names=None):
+                    num_classes, box_scale, class_names=None,
+                    gt_difficult=None):
     """Write the eval set + detections as one COCO-format JSON for
     external cross-checking: ``gt`` loads into ``pycocotools.COCO()``,
     ``detections`` into ``COCO.loadRes()`` — so the reported metrics can
@@ -87,9 +88,14 @@ def _dump_coco_json(path, detections, ground_truth, num_images,
              "name": names[c] if c < len(names) else f"class_{c}"}
             for c in range(num_classes)
         ],
+        # VOC difficult GT rides iscrowd=1: pycocotools then ignores it
+        # (no recall credit, no FP for detections on it) — the COCO-side
+        # analogue of the devkit's difficult handling
         "annotations": [
             {"id": i + 1, "image_id": int(img), "category_id": int(cls) + 1,
-             "bbox": (b := xywh(box)), "area": b[2] * b[3], "iscrowd": 0}
+             "bbox": (b := xywh(box)), "area": b[2] * b[3],
+             "iscrowd": int(bool(gt_difficult[i])) if gt_difficult is not None
+             else 0}
             for i, (img, cls, box) in enumerate(ground_truth)
         ],
     }
@@ -104,13 +110,15 @@ def _dump_coco_json(path, detections, ground_truth, num_images,
              len(results), path)
 
 
-def _allgather_shards(detections, ground_truth, num_images, n_proc):
+def _allgather_shards(detections, ground_truth, gt_difficult, num_images,
+                      n_proc):
     """Gather per-process eval shards over DCN into global lists.
 
-    Detections/GT are packed into fixed-width f32 rows, zero-padded to the
-    global max row count (shapes must match across processes), and
-    allgathered via jax; local image ids are remapped to globally-unique
-    ids (gid = local * n_proc + rank — the strided shard analogue)."""
+    Detections/GT are packed into fixed-width f32 rows (GT rows carry the
+    difficult flag), zero-padded to the global max row count (shapes must
+    match across processes), and allgathered via jax; local image ids are
+    remapped to globally-unique ids (gid = local * n_proc + rank — the
+    strided shard analogue)."""
     from jax.experimental import multihost_utils as mhu
 
     rank = jax.process_index()
@@ -134,7 +142,9 @@ def _allgather_shards(detections, ground_truth, num_images, n_proc):
         return arr
 
     det = pack(detections, 7)    # gid, cls, score, box[4]
-    gt = pack(ground_truth, 6)   # gid, cls, box[4]
+    gt = pack([(img, cls, float(diff), box)
+               for (img, cls, box), diff in zip(ground_truth, gt_difficult)],
+              7)                 # gid, cls, difficult, box[4]
     counts = mhu.process_allgather(
         np.asarray([det.shape[0], gt.shape[0], num_images], np.int64))
     cap_d, cap_g = int(counts[:, 0].max()), int(counts[:, 1].max())
@@ -146,16 +156,17 @@ def _allgather_shards(detections, ground_truth, num_images, n_proc):
         return mhu.process_allgather(np.concatenate([arr, pad]))
 
     all_det = gather(det, cap_d, 7) if cap_d else None
-    all_gt = gather(gt, cap_g, 6) if cap_g else None
+    all_gt = gather(gt, cap_g, 7) if cap_g else None
     detections = [
         (int(r[0]), int(r[1]), float(r[2]), r[3:7])
         for p in range(n_proc) for r in all_det[p, : int(counts[p, 0])]
     ] if cap_d else []
-    ground_truth = [
-        (int(r[0]), int(r[1]), r[2:6])
-        for p in range(n_proc) for r in all_gt[p, : int(counts[p, 1])]
+    gt_rows = [
+        r for p in range(n_proc) for r in all_gt[p, : int(counts[p, 1])]
     ] if cap_g else []
-    return detections, ground_truth, int(counts[:, 2].sum())
+    ground_truth = [(int(r[0]), int(r[1]), r[3:7]) for r in gt_rows]
+    gt_difficult = [bool(r[2]) for r in gt_rows]
+    return detections, ground_truth, gt_difficult, int(counts[:, 2].sum())
 
 
 def evaluate_model(
@@ -304,6 +315,15 @@ def evaluate_model(
 
     detections = []
     ground_truth = []
+    gt_difficult = []  # aligned with ground_truth (VOC ignore semantics)
+    # cache indices in loader order (epoch 0, no shuffle, strided shard) —
+    # used to pull each image's *difficult* GT, which the training-view
+    # loader batches exclude by design (DatasetCache.example)
+    eval_order = np.arange(len(cache))
+    if distributed:
+        eval_order = eval_order[jax.process_index()::n_proc]
+    from yolojax.data.augment import letterbox_transform
+
     img_id = 0
     for bi, (images, boxes, classes, valid) in enumerate(loader.epoch(0, shuffle=False)):
         if max_batches is not None and bi >= max_batches:
@@ -321,6 +341,24 @@ def evaluate_model(
                 (img_id + k, int(classes_np[k, g]),
                  np.asarray([cy - h / 2, cx - w / 2,
                              cy + h / 2, cx + w / 2])))
+        gt_difficult.extend([False] * (len(ground_truth) - len(gt_difficult)))
+        for k in range(images.shape[0]):
+            ci = int(eval_order[bi * batch_size + k])
+            _, cb, cc, cd = cache.example_eval(ci)
+            if not cd.any():
+                continue
+            iw, ih = (int(v) for v in cache.sizes[ci])
+            sx, sy, px, py = letterbox_transform(iw, ih, input_dim,
+                                                 stretch=stretch)
+            for b, c_ in zip(cb[cd], cc[cd]):
+                cx = b[0] * sx + px
+                cy = b[1] * sy + py
+                w, h = b[2] * sx, b[3] * sy
+                ground_truth.append(
+                    (img_id + k, int(c_),
+                     np.asarray([cy - h / 2, cx - w / 2,
+                                 cy + h / 2, cx + w / 2])))
+                gt_difficult.append(True)
         keep = out["keep"]
         if max_detections:
             # NMS output is score-sorted along the box axis: keeping the
@@ -336,13 +374,14 @@ def evaluate_model(
              img_id, len(detections), len(ground_truth),
              f" (shard {jax.process_index()}/{n_proc})" if distributed else "")
     if distributed:
-        detections, ground_truth, img_id = _allgather_shards(
-            detections, ground_truth, img_id, n_proc)
+        detections, ground_truth, gt_difficult, img_id = _allgather_shards(
+            detections, ground_truth, gt_difficult, img_id, n_proc)
     if dump_path and jax.process_index() == 0:
         _dump_coco_json(dump_path, detections, ground_truth, img_id,
-                        n_cls, float(input_dim), class_names)
+                        n_cls, float(input_dim), class_names,
+                        gt_difficult=gt_difficult)
     metrics = compute_map(detections, ground_truth, n_cls,
-                          iou_thresh=map_iou)
+                          iou_thresh=map_iou, gt_difficult=gt_difficult)
     if coco:
         from yolojax.eval.voc_map import compute_coco_map
 
@@ -350,7 +389,8 @@ def evaluate_model(
         # COCO small/medium/large bins mean what they do in COCO
         metrics.update(compute_coco_map(detections, ground_truth,
                                         n_cls,
-                                        box_scale=float(input_dim)))
+                                        box_scale=float(input_dim),
+                                        gt_ignore=gt_difficult))
     metrics["num_images"] = img_id
     metrics["num_detections"] = len(detections)
     return metrics

@@ -51,6 +51,7 @@ def compute_map(
     *,
     iou_thresh: float = 0.5,
     eleven_point: bool = True,
+    gt_difficult: Sequence[bool] = None,
 ) -> Dict[str, float]:
     """Compute per-class AP and mAP.
 
@@ -58,22 +59,33 @@ def compute_map(
     ground_truth: (image_id, class_id, box)
     Boxes in any consistent coordinate system.
 
-    Classes with no ground truth in the set are EXCLUDED from the mean
-    (no ``ap_c`` emitted), the VOC-devkit/COCO convention — detections of
-    such classes carry no penalty, exactly as in pycocotools. On real VOC
-    val/test splits every class has GT, so this only matters for small
-    synthetic sets.
+    ``gt_difficult`` (aligned with ``ground_truth``) marks VOC *difficult*
+    objects, handled exactly as in the devkit's VOCevaldet: excluded from
+    the recall denominator, and a detection whose best-overlap GT is
+    difficult (at >= ``iou_thresh``) is neither a TP nor an FP — difficult
+    GT is never consumed, so any number of detections can sit on it freely.
+
+    Classes with no (non-difficult) ground truth in the set are EXCLUDED
+    from the mean (no ``ap_c`` emitted), the VOC-devkit/COCO convention —
+    detections of such classes carry no penalty, exactly as in
+    pycocotools. On real VOC val/test splits every class has GT, so this
+    only matters for small synthetic sets.
     """
 
     iou = _iou_one_to_many
+    if gt_difficult is None:
+        gt_difficult = np.zeros(len(ground_truth), bool)
 
     aps = {}
     for c in range(num_classes):
         gt_by_img: Dict[int, List[np.ndarray]] = {}
-        for img, cls, box in ground_truth:
+        diff_by_img: Dict[int, List[bool]] = {}
+        for gi, (img, cls, box) in enumerate(ground_truth):
             if cls == c:
                 gt_by_img.setdefault(img, []).append(np.asarray(box, np.float64))
-        npos = sum(len(v) for v in gt_by_img.values())
+                diff_by_img.setdefault(img, []).append(bool(gt_difficult[gi]))
+        npos = sum(len(v) - sum(d)
+                   for v, d in zip(gt_by_img.values(), diff_by_img.values()))
         if npos == 0:
             continue  # absent class: excluded from the mean (see docstring)
         dets = [(img, score, np.asarray(box, np.float64))
@@ -91,7 +103,11 @@ def compute_map(
                 continue
             overlaps = iou(box, np.stack(gts))
             j = int(np.argmax(overlaps))
-            if overlaps[j] >= iou_thresh and not matched[img][j]:
+            if overlaps[j] < iou_thresh:
+                fp[i] = 1
+            elif diff_by_img[img][j]:
+                pass  # ignored: sits on a difficult object
+            elif not matched[img][j]:
                 tp[i] = 1
                 matched[img][j] = True
             else:
@@ -281,6 +297,7 @@ def compute_coco_map(
     box_scale: float = 1.0,
     iou_thresholds: Sequence[float] = tuple(
         round(0.5 + 0.05 * i, 2) for i in range(10)),
+    gt_ignore: Sequence[bool] = None,
 ) -> Dict[str, float]:
     """COCO-style metrics on the same (image_id, class, score, box) streams
     as :func:`compute_map` (boxes ymin,xmin,ymax,xmax; GT matched at most
@@ -300,6 +317,12 @@ def compute_coco_map(
     out-of-bin detections are ignored, and classes with no in-bin GT are
     excluded from the bin mean.
 
+    ``gt_ignore`` (aligned with ``ground_truth``) marks GT to ignore in
+    every surface — VOC *difficult* objects scored COCO-style ride this,
+    with the same mechanics pycocotools applies to crowd/ignore regions:
+    excluded from every denominator, matches to them are neither TP nor
+    FP (each ignored GT is consumed at most once per threshold sweep).
+
     The reference had no evaluator at all (SURVEY.md §4) — this extends the
     VOC protocol for COCO-trained configs (BASELINE config 5).
     """
@@ -314,10 +337,11 @@ def compute_coco_map(
     # is pycocotools-exact: a detection takes the best *unmatched* GT above
     # the threshold (VOC's compute_map takes the best-overall GT and fails
     # if it is already matched — for the VOC surface that stays as is).
-    all_gt = np.ones(len(ground_truth), bool)
+    countable = (np.ones(len(ground_truth), bool) if gt_ignore is None
+                 else ~np.asarray(gt_ignore, bool))
     all_det = np.ones(len(detections), bool)
     per_t = _binned_aps(index, iou_thresholds,
-                        gt_in_bin=all_gt, det_in_bin=all_det)
+                        gt_in_bin=countable, det_in_bin=all_det)
     per_t = [0.0 if np.isnan(v) else v for v in per_t]
     out["coco_map"] = float(np.mean(per_t)) if per_t else 0.0
     for t, v in zip(iou_thresholds, per_t):
@@ -338,12 +362,14 @@ def compute_coco_map(
         return float(np.mean(per_cls)) if per_cls else float("nan")
 
     for k in (1, 10, 100):
-        out[f"ar_{k}"] = _mean_recall(k)
+        out[f"ar_{k}"] = _mean_recall(k, gt_in_bin=None if gt_ignore is None
+                                      else countable)
 
     gt_areas = np.asarray([_area(g[2]) for g in ground_truth])
     det_areas = np.asarray([_area(d[3]) for d in detections])
     for name, (lo, hi) in COCO_AREA_RANGES.items():
         gt_in = (gt_areas >= lo) & (gt_areas < hi) if len(gt_areas) else gt_areas.astype(bool)
+        gt_in &= countable
         det_in = (det_areas >= lo) & (det_areas < hi) if len(det_areas) else det_areas.astype(bool)
         if not gt_in.any():
             out[f"ap_{name}"] = float("nan")
