@@ -47,7 +47,8 @@ def build_serving(cfg, weights_path, calib_canvases=None, portable=False):
     model = cfg.build_model()
     names = cfg.names()
     dim = cfg.model.dim
-    params, bn_state = load_weights(weights_path, model, dim)
+    params, bn_state = load_weights(weights_path, model, dim,
+                                    use_ema=cfg.detect.use_ema)
     model, params, bn_state = fold_bn(model, params, bn_state)  # inference
     if not cfg.detect.use_int8:
         from yolojax.nn.stem import fuse_stem

@@ -118,7 +118,8 @@ def main():
         else:
             names = cfg.names()
             params, bn_state = load_weights(args.weights, model,
-                                            cfg.model.dim)
+                                            cfg.model.dim,
+                                            use_ema=cfg.detect.use_ema)
             params = jax.tree_util.tree_map(jnp.asarray, params)
             bn_state = jax.tree_util.tree_map(jnp.asarray, bn_state)
             metrics = evaluate_model(

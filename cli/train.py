@@ -48,6 +48,7 @@ def main():
     from yolojax.data.grain_loader import make_loader
     from yolojax.parallel.mesh import (
         make_mesh,
+        opt_state_shardings,
         param_shardings,
         replicated,
         shard_batch,
@@ -128,13 +129,24 @@ def main():
     # over the "model" axis (GSPMD inserts the all-gathers/reduce-scatters
     # over ICI); bn/opt state and everything below the threshold replicate.
     # With model=1 this degrades to pure replication.
+    # train.zero: ZeRO-1 layout — each DP chip stores 1/N of the momentum/
+    # Adam/EMA buffers; GSPMD lowers the update to reduce-scatter + local
+    # update + all-gather over ICI (yolojax/parallel/mesh.py docstring)
+    if tcfg.zero and mesh.shape["data"] > 1:
+        opt_put = jax.tree_util.tree_map(
+            jax.device_put, ts.opt_state,
+            opt_state_shardings(mesh, ts.opt_state))
+        log.info("ZeRO-1: optimizer state sharded over data=%d",
+                 mesh.shape["data"])
+    else:
+        opt_put = jax.device_put(ts.opt_state, replicated(mesh))
     ts = TrainState(
         jax.device_put(ts.step, replicated(mesh)),
         jax.tree_util.tree_map(
             jax.device_put, ts.params, param_shardings(mesh, ts.params)
         ),
         jax.device_put(ts.bn_state, replicated(mesh)),
-        jax.device_put(ts.opt_state, replicated(mesh)),
+        opt_put,
     )
     if mesh.shape["model"] > 1:
         # TP-sharded leaves are not process-addressable under multi-process:

@@ -945,3 +945,54 @@ def test_32_kmeans_anchors_cli(workspace, monkeypatch, capsys):
 
     cfg = load_config([str(workspace / "test.ini"), str(ini2)])
     assert len(cfg.model.anchors) == 2
+
+
+def test_35_train_zero1_ema_accum_cli(workspace, monkeypatch, tmp_path):
+    """train.zero=1 + ema_decay + grad_accum at the CLI surface: the ZeRO-1
+    sharded-optimizer layout trains, checkpoints (host gather of the
+    data-sharded momentum/EMA buffers), resumes, and detect serves the
+    EMA weights from the logdir via detect.use_ema=1."""
+    _ensure_prereqs(workspace, monkeypatch)
+    common = [
+        "-c", str(workspace / "test.ini"),
+        f"train.logdir={tmp_path}/zlog",
+        "train.save_steps=2", "train.zero=1",
+        "train.ema_decay=0.9", "train.grad_accum=2",
+    ]
+    _run("cli.train", common + ["train.steps=4"], monkeypatch)
+    logdir = tmp_path / "zlog" / "yolo2_tiny"
+    metrics = [json.loads(l) for l in open(logdir / "metrics.jsonl")]
+    scalar = [m for m in metrics if "total" in m]
+    assert len(scalar) == 4 and np.isfinite(scalar[-1]["total"])
+    # resume: the sharded opt_state (incl. EMA + MultiSteps counters)
+    # round-trips through the checkpoint
+    _run("cli.train", common + ["train.steps=5"], monkeypatch)
+    metrics = [json.loads(l) for l in open(logdir / "metrics.jsonl")]
+    steps = [m["step"] for m in metrics]
+    assert max(steps) == 5 and steps.count(5) == 1
+    # EMA weights restore for inference and differ from the live params
+    from yolojax.train.checkpoint import Checkpointer
+    from yolojax.train.step import extract_ema
+    from yolojax.utils.restore import load_weights
+
+    ckpt = Checkpointer(str(logdir / "ckpt"))
+    _, raw = ckpt.restore_latest_raw()
+    ckpt.close()
+    ema, _ = load_weights(str(logdir), None, 64, use_ema=True)
+    import jax as _jax
+
+    live = raw["params"]
+    diffs = [np.abs(np.asarray(a) - np.asarray(b)).max()
+             for a, b in zip(_jax.tree_util.tree_leaves(ema),
+                             _jax.tree_util.tree_leaves(live))]
+    assert max(diffs) > 0
+    # detect CLI serves the EMA weights
+    out = tmp_path / "ema_det.png"
+    _run("cli.detect", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(logdir),
+        "--image", str(workspace / "voc" / "JPEGImages" / "000000.jpg"),
+        "--out", str(out),
+        "detect.threshold=0.0001", "detect.use_ema=1",
+    ], monkeypatch)
+    assert out.exists()

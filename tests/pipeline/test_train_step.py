@@ -151,6 +151,63 @@ def test_tp_param_sharding_runs_and_matches():
                                rtol=1e-4)
 
 
+def test_zero1_opt_sharding_matches_replicated():
+    """train.zero: ZeRO-1 optimizer-state sharding over the data axis is a
+    LAYOUT choice — training must land on the same params as the fully
+    replicated run, while each chip addresses only 1/N of the momentum/EMA
+    buffers."""
+    from yolojax.parallel.mesh import opt_state_shardings
+
+    model = micro_model()
+    mk = lambda: make_optimizer(OptimizerConfig(
+        optimizer="momentum", learning_rate=1e-2, weight_decay=0.0,
+        ema_decay=0.9))
+    batch = _batch()
+    rng = jax.random.PRNGKey(1)
+    mesh = make_mesh(data=8, model=1)
+
+    tx = mk()
+    step = make_train_step(model, tx, augment=False,
+                           compute_dtype=jnp.float32)
+    ts_a = jax.device_put(
+        init_train_state(model, tx, jax.random.PRNGKey(0), 32),
+        replicated(mesh))
+    ts_a, _ = _run_steps(ts_a, step, shard_batch(mesh, batch), rng, 3)
+
+    tx2 = mk()
+    step2 = make_train_step(model, tx2, augment=False,
+                            compute_dtype=jnp.float32)
+    ts0 = init_train_state(model, tx2, jax.random.PRNGKey(0), 32)
+    opt = jax.tree_util.tree_map(
+        jax.device_put, ts0.opt_state,
+        opt_state_shardings(mesh, ts0.opt_state))
+    # the layout really is distributed: some leaf's local shard < global
+    shard_frac = [
+        l.addressable_shards[0].data.size / l.size
+        for l in jax.tree_util.tree_leaves(opt) if l.size >= 8
+    ]
+    assert min(shard_frac) == 1 / 8, shard_frac
+    ts_b = TrainState(
+        jax.device_put(ts0.step, replicated(mesh)),
+        jax.device_put(ts0.params, replicated(mesh)),
+        jax.device_put(ts0.bn_state, replicated(mesh)),
+        opt,
+    )
+    ts_b, _ = _run_steps(ts_b, step2, shard_batch(mesh, batch), rng, 3)
+
+    for a, b in zip(jax.tree_util.tree_leaves(ts_a.params),
+                    jax.tree_util.tree_leaves(ts_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # the EMA inside the sharded opt_state matches too (device_get gathers)
+    from yolojax.train.step import extract_ema
+
+    ea = jax.device_get(extract_ema(ts_a.opt_state))
+    eb = jax.device_get(extract_ema(ts_b.opt_state))
+    for a, b in zip(jax.tree_util.tree_leaves(ea),
+                    jax.tree_util.tree_leaves(eb)):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
 def test_multiscale_schedule_deterministic():
     sched = MultiScaleSchedule(dims=(320, 352, 384), every=10, seed=1)
     dims = [sched.dim_at(s) for s in range(40)]
@@ -233,6 +290,133 @@ def test_weight_decay_masks_bn_and_biases():
     assert not np.asarray(up["conv"]["b"]).any()
     assert not np.asarray(up["bn"]["scale"]).any()
     assert not np.asarray(up["bn"]["bias"]).any()
+
+
+def test_ema_tracks_polyak_average():
+    """[train] ema_decay keeps e_t = d*e_{t-1} + (1-d)*p_t inside opt_state
+    (tf.train.ExponentialMovingAverage analogue), without perturbing the
+    parameter trajectory itself."""
+    from yolojax.train.step import extract_ema
+
+    d = 0.5  # large (1-d) so drift is visible in 3 steps
+    base = OptimizerConfig(optimizer="sgd", learning_rate=1e-2,
+                           weight_decay=0.0)
+    tx_plain = make_optimizer(base)
+    tx_ema = make_optimizer(
+        OptimizerConfig(**{**base.__dict__, "ema_decay": d}))
+    batch = _batch()
+    rng = jax.random.PRNGKey(1)
+
+    ts_p = init_train_state(micro_model(), tx_plain, jax.random.PRNGKey(0), 32)
+    step_p = make_train_step(micro_model(), tx_plain, augment=False,
+                             compute_dtype=jnp.float32)
+    ts_e = init_train_state(micro_model(), tx_ema, jax.random.PRNGKey(0), 32)
+    step_e = make_train_step(micro_model(), tx_ema, augment=False,
+                             compute_dtype=jnp.float32)
+
+    expect = jax.device_get(ts_e.params)  # e_0 = p_0
+    for _ in range(3):
+        ts_p, _ = step_p(ts_p, batch, rng, dim=32)
+        ts_e, _ = step_e(ts_e, batch, rng, dim=32)
+        # EMA must not change the updates: trajectories stay identical
+        for a, b in zip(jax.tree_util.tree_leaves(ts_p.params),
+                        jax.tree_util.tree_leaves(ts_e.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-7)
+        expect = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p),
+            expect, jax.device_get(ts_e.params))
+    ema = extract_ema(ts_e.opt_state)
+    assert ema is not None
+    for a, b in zip(jax.tree_util.tree_leaves(expect),
+                    jax.tree_util.tree_leaves(jax.device_get(ema))):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+    # EMA differs from the live params (it lags the trajectory)
+    diffs = [np.abs(np.asarray(a) - np.asarray(b)).max()
+             for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(ema)),
+                             jax.tree_util.tree_leaves(
+                                 jax.device_get(ts_e.params)))]
+    assert max(diffs) > 0
+
+    assert extract_ema(ts_p.opt_state) is None  # plain run has no EMA
+
+
+def test_grad_accum_matches_full_batch_update():
+    """grad_accum=k averages k mini-step gradients into one optimizer
+    update: feeding the SAME batch k times must land exactly where one
+    un-accumulated step on that batch lands, with params frozen on the
+    intermediate mini-steps."""
+    base = OptimizerConfig(optimizer="momentum", learning_rate=1e-2,
+                           weight_decay=0.0)
+    batch = _batch()
+    rng = jax.random.PRNGKey(1)
+
+    tx1 = make_optimizer(base)
+    ts1 = init_train_state(micro_model(), tx1, jax.random.PRNGKey(0), 32)
+    step1 = make_train_step(micro_model(), tx1, augment=False,
+                            compute_dtype=jnp.float32)
+    ts1, _ = step1(ts1, batch, rng, dim=32)
+
+    txk = make_optimizer(
+        OptimizerConfig(**{**base.__dict__, "grad_accum": 2}))
+    tsk = init_train_state(micro_model(), txk, jax.random.PRNGKey(0), 32)
+    stepk = make_train_step(micro_model(), txk, augment=False,
+                            compute_dtype=jnp.float32)
+    p0 = jax.device_get(tsk.params)
+    tsk, _ = stepk(tsk, batch, rng, dim=32)
+    # mini-step 1: gradients accumulated, params untouched
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(jax.device_get(tsk.params))):
+        np.testing.assert_array_equal(a, b)
+    tsk, _ = stepk(tsk, batch, rng, dim=32)
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(ts1.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(tsk.params))):
+        np.testing.assert_allclose(a, b, atol=1e-6, rtol=1e-6)
+
+
+def test_ema_survives_checkpoint_and_feeds_inference(tmp_path):
+    """The EMA tree rides Orbax inside opt_state; load_weights(use_ema=True)
+    serves it to detect/eval, and refuses sources that can't carry it."""
+    import pytest
+
+    from yolojax.train.checkpoint import Checkpointer
+    from yolojax.train.step import extract_ema
+    from yolojax.utils.restore import load_weights
+
+    model = micro_model()
+    tx = make_optimizer(OptimizerConfig(optimizer="sgd", learning_rate=1e-2,
+                                        weight_decay=0.0, ema_decay=0.9))
+    ts = init_train_state(model, tx, jax.random.PRNGKey(0), 32)
+    step = make_train_step(model, tx, augment=False,
+                           compute_dtype=jnp.float32)
+    for _ in range(2):
+        ts, _ = step(ts, _batch(), jax.random.PRNGKey(1), dim=32)
+    live_ema = jax.device_get(extract_ema(ts.opt_state))
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(2, jax.device_get(ts), force=True)
+    ckpt.wait()
+    ckpt.close()
+
+    params, bn_state = load_weights(str(tmp_path), model, 32, use_ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(live_ema),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-7)
+    assert set(bn_state) == set(ts.bn_state)
+
+    with pytest.raises(ValueError, match="Orbax checkpoint dir"):
+        load_weights("weights.npz", model, 32, use_ema=True)
+
+    # a run without ema_decay: explicit error, not silent live weights
+    tx2 = make_optimizer(OptimizerConfig(optimizer="sgd"))
+    ts2 = init_train_state(model, tx2, jax.random.PRNGKey(0), 32)
+    ckpt2 = Checkpointer(str(tmp_path / "plain" / "ckpt"))
+    ckpt2.save(1, jax.device_get(ts2), force=True)
+    ckpt2.wait()
+    ckpt2.close()
+    with pytest.raises(ValueError, match="no EMA"):
+        load_weights(str(tmp_path / "plain"), model, 32, use_ema=True)
 
 
 def test_train_step_with_grads_returns_grad_tree(tmp_path):

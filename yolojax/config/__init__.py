@@ -89,6 +89,8 @@ class TrainConfig:
     # mesh
     mesh_data: int = 0             # 0 -> all devices
     mesh_model: int = 1
+    zero: bool = False             # ZeRO-1: shard optimizer state (momentum/
+                                   # Adam moments/EMA) over the data axis
     # multi-host (DCN): set all three (or JAX_COORDINATOR/... env vars)
     coordinator: str = ""
     num_processes: int = 0
@@ -104,6 +106,8 @@ class DetectConfig:
     candidates: str = "auto"       # top-k select: auto|exact|approx
     stretch: bool = False          # plain resize instead of letterbox
     use_int8: bool = False         # post-training int8 conv trunk (v2 only)
+    use_ema: bool = False          # Orbax ckpt dirs: serve the Polyak-
+                                   # averaged weights ([train] ema_decay)
     calib_images: int = 8          # int8: images used for activation calib
     calib_percentile: float = 100.0  # int8: |act| percentile for scales
                                    # (100 = abs-max; e.g. 99.9 clips outliers)

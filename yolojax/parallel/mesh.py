@@ -92,6 +92,35 @@ def param_shardings(
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def opt_state_shardings(mesh: Mesh, opt_state: Any) -> Any:
+    """ZeRO-1-style optimizer-state sharding: per-param buffers (momentum,
+    Adam moments, the EMA copy) are sharded over the DATA axis so each
+    data-parallel chip stores 1/N of the optimizer state instead of a full
+    replica. GSPMD then lowers the update to the classic ZeRO dance —
+    reduce-scatter of the gradients into the shard, local update, all-gather
+    of the new params — riding ICI (Rajbhandari et al., arXiv:1910.02054;
+    the "How to Scale Your Model" optimizer-sharding recipe).
+
+    Rule: shard the largest axis that divides the data-mesh size; scalars
+    (step counts) and indivisible leaves replicate. Math is unchanged — the
+    update is elementwise over the shard — so training is bitwise-compatible
+    with the replicated layout up to reduction order.
+    """
+    dp = mesh.shape["data"]
+
+    def rule(leaf):
+        if dp > 1 and getattr(leaf, "ndim", 0) >= 1:
+            dims = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+            for d in dims:
+                if leaf.shape[d] % dp == 0 and leaf.shape[d] >= dp:
+                    spec = [None] * leaf.ndim
+                    spec[d] = "data"
+                    return NamedSharding(mesh, P(*spec))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(rule, opt_state)
+
+
 def shard_batch(mesh: Mesh, batch):
     """device_put a host batch with the leading axis sharded over "data"."""
     s = batch_sharding(mesh)

@@ -49,6 +49,13 @@ class OptimizerConfig:
     # "steps" schedule: scale lr by gamma at each boundary (Darknet-style)
     boundaries: Tuple[int, ...] = ()
     gamma: float = 0.1
+    # Polyak-averaged eval weights (tf.train.ExponentialMovingAverage
+    # analogue); 0 disables. The averaged copy lives inside opt_state and
+    # rides checkpoints; detect/eval select it with use_ema=1.
+    ema_decay: float = 0.0
+    # average gradients over k mini-steps before one optimizer update
+    # (large effective batches past the per-step HBM envelope); 1 disables
+    grad_accum: int = 1
 
 
 def make_schedule(cfg: OptimizerConfig) -> optax.Schedule:
@@ -78,6 +85,67 @@ def decay_mask(params: Any) -> Any:
     return jax.tree_util.tree_map(lambda p: p.ndim > 1, params)
 
 
+class EmaState(NamedTuple):
+    """State of :func:`ema_transform`. The field name ``ema_params`` is the
+    stable lookup key :func:`extract_ema` uses to find the averaged weights
+    inside a (possibly raw-restored) opt_state tree — don't rename."""
+
+    ema_params: Any
+
+
+def ema_transform(decay: float) -> optax.GradientTransformation:
+    """Maintain an exponential moving average of the PARAMETERS (not the
+    updates — unlike ``optax.ema``). Appended as the LAST link of the chain
+    so the incoming ``updates`` are exactly what ``optax.apply_updates``
+    will add; ``params + updates`` is therefore the post-step weights.
+    TF1 frameworks of the reference's era did the same thing with
+    ``tf.train.ExponentialMovingAverage`` after the train op."""
+
+    def init(params):
+        # copy=True: e_0 must be a DISTINCT buffer from the live params —
+        # the jitted train step donates both, and an aliased leaf trips
+        # XLA's "donate the same buffer twice" check
+        return EmaState(ema_params=jax.tree_util.tree_map(
+            lambda p: jnp.array(p, dtype=jnp.float32, copy=True), params))
+
+    def update(updates, state, params=None):
+        if params is None:
+            raise ValueError("ema_transform needs params")
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p, u: decay * e + (1.0 - decay) * (p + u),
+            state.ema_params, params, updates,
+        )
+        return updates, EmaState(ema_params=new_ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def extract_ema(opt_state: Any) -> Any:
+    """Find the EMA param tree inside an opt_state — either a live optax
+    state (EmaState namedtuple) or an Orbax raw restore (nested dicts with
+    namedtuple fields as keys). Returns None when training ran without
+    ``ema_decay``."""
+    found = []
+
+    def walk(node):
+        if isinstance(node, EmaState):
+            found.append(node.ema_params)
+            return
+        if isinstance(node, dict):
+            if "ema_params" in node:
+                found.append(node["ema_params"])
+                return
+            for v in node.values():
+                walk(v)
+            return
+        if isinstance(node, (list, tuple)):
+            for v in node:
+                walk(v)
+
+    walk(opt_state)
+    return found[0] if found else None
+
+
 def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     sched = make_schedule(cfg)
     name = cfg.optimizer.lower()
@@ -102,7 +170,18 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
             optax.add_decayed_weights(cfg.weight_decay, mask=decay_mask)
         )
     chain.append(tx)
-    return optax.chain(*chain)
+    if cfg.ema_decay > 0:
+        if not (0.0 < cfg.ema_decay < 1.0):
+            raise ValueError(f"ema_decay must be in (0,1), got {cfg.ema_decay}")
+        # last link: sees the final updates, so it tracks post-step params
+        chain.append(ema_transform(cfg.ema_decay))
+    out = optax.chain(*chain)
+    if cfg.grad_accum > 1:
+        # inner chain (incl. schedules and the EMA) advances once per k
+        # mini-steps, on the k-mean gradient; intermediate mini-steps emit
+        # zero updates so the step loop stays shape-identical
+        out = optax.MultiSteps(out, every_k_schedule=int(cfg.grad_accum))
+    return out
 
 
 class TrainState(NamedTuple):

@@ -20,9 +20,19 @@ log = logging.getLogger(__name__)
 
 
 def load_weights(
-    path: str, model: Model, input_dim: int
+    path: str, model: Model, input_dim: int, *, use_ema: bool = False
 ) -> Tuple[Any, Any]:
-    """Return (params, bn_state) for ``model`` from any supported source."""
+    """Return (params, bn_state) for ``model`` from any supported source.
+
+    ``use_ema``: for Orbax checkpoint dirs, substitute the Polyak-averaged
+    weights maintained by ``[train] ema_decay`` (stored inside opt_state;
+    tf.train.ExponentialMovingAverage analogue). Errors if the run trained
+    without EMA; meaningless (and rejected) for weight-file sources, which
+    carry no optimizer state."""
+    if use_ema and not (os.path.isdir(path)):
+        raise ValueError(
+            f"use_ema needs an Orbax checkpoint dir (got {path!r}): only "
+            "training checkpoints carry the averaged weights")
     if path.endswith(".npz"):
         from yolojax.convert.store import load_params_npz
 
@@ -46,6 +56,16 @@ def load_weights(
         if raw is None:
             raise FileNotFoundError(f"no checkpoint found in {ckpt_dir}")
         log.info("loading orbax checkpoint step %s from %s", step, ckpt_dir)
+        if use_ema:
+            from yolojax.train.step import extract_ema
+
+            ema = extract_ema(raw.get("opt_state"))
+            if ema is None:
+                raise ValueError(
+                    f"checkpoint {ckpt_dir} (step {step}) has no EMA "
+                    "weights: train with [train] ema_decay > 0 first")
+            log.info("using EMA (Polyak-averaged) weights")
+            return ema, raw["bn_state"]
         return raw["params"], raw["bn_state"]
     if os.path.exists(path + ".index") or ".ckpt" in os.path.basename(path):
         from yolojax.convert.tf1 import load_tf1_checkpoint
