@@ -229,6 +229,23 @@ def test_optimizer_schedules():
         assert np.isfinite(np.asarray(up["w"])).all()
 
 
+def test_warmup_power_burn_in_curve():
+    """warmup_power=4 reproduces Darknet's burn_in ramp lr*(t/N)^4; the
+    default stays linear, and both hand off to the base schedule at N."""
+    from yolojax.train.step import make_schedule
+
+    base = 1e-2
+    for p in (1.0, 4.0):
+        sched = make_schedule(OptimizerConfig(
+            learning_rate=base, schedule="constant",
+            warmup_steps=100, warmup_power=p))
+        np.testing.assert_allclose(float(sched(0)), 0.0, atol=1e-12)
+        np.testing.assert_allclose(float(sched(50)), base * 0.5 ** p,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(sched(100)), base, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(5000)), base, rtol=1e-6)
+
+
 def test_train_step_bf16_compute():
     """Mixed-precision path must be differentiable (regression: fp32-out
     bf16-in conv broke the VJP with a dtype mismatch)."""

@@ -46,6 +46,9 @@ class OptimizerConfig:
     decay_steps: int = 100_000
     decay_rate: float = 0.1
     warmup_steps: int = 0
+    # warmup ramp shape: lr * (step/warmup)^power. 1 = linear; 4 = Darknet's
+    # burn_in curve (region-training recipe the reference's models assume)
+    warmup_power: float = 1.0
     # "steps" schedule: scale lr by gamma at each boundary (Darknet-style)
     boundaries: Tuple[int, ...] = ()
     gamma: float = 0.1
@@ -73,7 +76,12 @@ def make_schedule(cfg: OptimizerConfig) -> optax.Schedule:
     else:
         raise ValueError(f"unknown schedule {cfg.schedule!r}")
     if cfg.warmup_steps > 0:
-        warm = optax.linear_schedule(0.0, base, cfg.warmup_steps)
+        # lr * (step/warmup)^power — Darknet's burn_in curve (power 4 there;
+        # optax.polynomial_schedule curves the other way, 1-(1-x)^p)
+        def warm(count, _n=float(cfg.warmup_steps), _p=cfg.warmup_power):
+            frac = jnp.clip(count / _n, 0.0, 1.0)
+            return base * frac ** _p
+
         sched = optax.join_schedules([warm, sched], [cfg.warmup_steps])
     return sched
 
