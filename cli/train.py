@@ -132,7 +132,8 @@ def main():
     # train.zero: ZeRO-1 layout — each DP chip stores 1/N of the momentum/
     # Adam/EMA buffers; GSPMD lowers the update to reduce-scatter + local
     # update + all-gather over ICI (yolojax/parallel/mesh.py docstring)
-    if tcfg.zero and mesh.shape["data"] > 1:
+    zero_on = tcfg.zero and mesh.shape["data"] > 1
+    if zero_on:
         opt_put = jax.tree_util.tree_map(
             jax.device_put, ts.opt_state,
             opt_state_shardings(mesh, ts.opt_state))
@@ -148,8 +149,13 @@ def main():
         jax.device_put(ts.bn_state, replicated(mesh)),
         opt_put,
     )
-    if mesh.shape["model"] > 1:
-        # TP-sharded leaves are not process-addressable under multi-process:
+    # Host pulls need a replicated-gather when any leaf is sharded across
+    # PROCESSES: TP (model axis) always; ZeRO-1 opt state (data axis) when
+    # the data axis spans processes (multi-process) — plain device_get on a
+    # non-addressable shard raises.
+    needs_gather = mesh.shape["model"] > 1 or (multi_process and zero_on)
+    if needs_gather:
+        # Non-addressable leaves (TP-sharded, or ZeRO-sharded across hosts):
         # reshard to replicated through a jitted identity (XLA all-gather
         # over ICI/DCN) before pulling to host for checkpoints/eval.
         # CAUTION: under multi-process this is a COLLECTIVE — every call
@@ -162,8 +168,8 @@ def main():
     else:
         host_state = jax.device_get
     # primary-only summary branches must still enter host_state on every
-    # process when it is a collective (multi-process tensor parallelism)
-    gather_all = multi_process and mesh.shape["model"] > 1
+    # process when it is a collective (multi-process TP or ZeRO-1)
+    gather_all = multi_process and needs_gather
 
     compute_dtype = jnp.bfloat16 if tcfg.compute_dtype == "bfloat16" else jnp.float32
     step_fn = make_train_step(

@@ -138,6 +138,98 @@ num_processes = 2
     assert pngs, "no image summary PNG written"
 
 
+def test_two_process_zero1_host_gather(tmp_path):
+    """2 processes x 4 devices, pure DP with train.zero=1: ZeRO-1 shards the
+    optimizer state over the data axis, which spans BOTH processes — so every
+    host pull of the train state (checkpoint saves, grad histograms, the eval
+    branch) must go through the replicated-gather collective, entered by both
+    processes. Plain jax.device_get on those non-addressable shards crashes;
+    this drives the exact scenario (ADVICE r3 medium) end-to-end."""
+    import json
+
+    import numpy as np
+
+    voc = tmp_path / "voc"
+    write_synthetic_voc(str(voc), n_images=8, size=(96, 64))
+    ini = tmp_path / "mpz.ini"
+    port = _free_port()
+    ini.write_text(f"""
+[model]
+model = yolo2
+inference = tiny
+dim = 64
+names_file = {REPO}/config/names/voc.txt
+anchors = 1.08,1.19 3.42,4.41
+[cache]
+basedir = {tmp_path}/cache
+train = voc:{voc}:trainval
+val = voc:{voc}:trainval
+[queue]
+batch_size = 8
+canvas_dim = 64
+max_boxes = 8
+num_threads = 2
+[eval]
+batch_size = 4
+distributed = 0
+[train]
+logdir = {tmp_path}/logdir
+steps = 2
+save_steps = 1
+summary_steps = 1
+eval_steps = 2
+histogram_steps = 1
+zero = 1
+ema_decay = 0.9
+compute_dtype = float32
+optimizer = sgd
+learning_rate = 1e-4
+weight_decay = 0
+coordinator = 127.0.0.1:{port}
+num_processes = 2
+""")
+    driver = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys; sys.path.insert(0, {repo!r}); "
+        "sys.argv = ['x', '-c', {ini!r}{extra}]; "
+        "from cli.{mod} import main; main()"
+    )
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    subprocess.run(
+        [sys.executable, "-c",
+         driver.format(repo=REPO, ini=str(ini), extra="", mod="cache")],
+        check=True, env=env, cwd=REPO, timeout=120,
+    )
+    procs = []
+    for pid in range(2):
+        code = driver.format(
+            repo=REPO, ini=str(ini),
+            extra=f", 'train.process_id={pid}'", mod="train",
+        )
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", code], env=env, cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=360)  # a deadlock would time out here
+        outs.append(out.decode())
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i} failed:\n{outs[i][-3000:]}"
+    assert "ZeRO-1: optimizer state sharded over data=8" in outs[0]
+    metrics = [json.loads(l) for l in
+               open(tmp_path / "logdir" / "yolo2_tiny" / "metrics.jsonl")]
+    train_lines = [m for m in metrics if "total" in m]
+    assert len(train_lines) == 2
+    assert np.isfinite(train_lines[-1]["total"])
+    assert any("val_map" in m for m in metrics), metrics
+    assert any(any(k.startswith("hist/grad/") for k in m) for m in metrics)
+    # both per-step saves + the final save landed (the crash site was here)
+    ckpts = sorted((tmp_path / "logdir" / "yolo2_tiny" / "ckpt").glob("[0-9]*"))
+    assert ckpts, "no checkpoints written"
+
+
 def test_two_process_tensor_parallel_host_gather(tmp_path):
     """2 processes x 4 devices with mesh_model=2: TP-sharded leaves are not
     process-addressable, so the primary-only summary branches (histograms,

@@ -40,6 +40,26 @@ def test_checkpoint_roundtrip(tmp_path):
     ckpt.close()
 
 
+def test_checkpoint_layout_mismatch_names_the_cause(tmp_path):
+    """Resuming with a different optimizer-state layout (e.g. EMA enabled
+    after the run started) must fail with a message naming the flag-layout
+    mismatch, not an opaque Orbax tree-structure error (ADVICE r3)."""
+    import pytest
+
+    model = micro_model()
+    tx = make_optimizer(OptimizerConfig())
+    ts = init_train_state(model, tx, jax.random.PRNGKey(0), 32)
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(5, ts, force=True)
+    ckpt.wait()
+
+    tx_ema = make_optimizer(OptimizerConfig(ema_decay=0.99))
+    template = init_train_state(model, tx_ema, jax.random.PRNGKey(0), 32)
+    with pytest.raises(RuntimeError, match="ema_decay"):
+        ckpt.restore_latest(template)
+    ckpt.close()
+
+
 def test_checkpoint_keeps_latest(tmp_path):
     model = micro_model()
     tx = make_optimizer(OptimizerConfig())

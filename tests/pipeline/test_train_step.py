@@ -208,6 +208,75 @@ def test_zero1_opt_sharding_matches_replicated():
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_zero1_with_tp_composed_layout_matches_single():
+    """The composed ZeRO-1 x TP optimizer-state layout (model axis kept from
+    the param, data axis on another dim) is still pure layout: a 4x2 DP x TP
+    mesh with both param AND opt-state sharding lands on the same params as
+    the single-device run."""
+    from yolojax.parallel.mesh import opt_state_shardings
+
+    model = micro_model()
+    mk = lambda: make_optimizer(OptimizerConfig(
+        optimizer="momentum", learning_rate=1e-2, weight_decay=0.0,
+        ema_decay=0.9))
+    batch = _batch()
+    rng = jax.random.PRNGKey(1)
+
+    tx = mk()
+    step = make_train_step(model, tx, augment=False,
+                           compute_dtype=jnp.float32)
+    ts_a = init_train_state(model, tx, jax.random.PRNGKey(0), 32)
+    ts_a, _ = _run_steps(ts_a, step, batch, rng, 3)
+
+    mesh = make_mesh(data=4, model=2)
+    tx2 = mk()
+    step2 = make_train_step(model, tx2, augment=False,
+                            compute_dtype=jnp.float32)
+    ts0 = init_train_state(model, tx2, jax.random.PRNGKey(0), 32)
+    pshard = param_shardings(mesh, ts0.params, tp_threshold=16)
+    params = jax.tree_util.tree_map(jax.device_put, ts0.params, pshard)
+    oshard = opt_state_shardings(mesh, ts0.opt_state, tp_threshold=16)
+    opt = jax.tree_util.tree_map(jax.device_put, ts0.opt_state, oshard)
+    # at least one buffer really landed on the composed model+data layout
+    specs = {str(s.spec) for s in jax.tree_util.tree_leaves(
+        oshard, is_leaf=lambda x: hasattr(x, "spec"))}
+    assert any("model" in sp and "data" in sp for sp in specs), specs
+    ts_b = TrainState(
+        jax.device_put(ts0.step, replicated(mesh)),
+        params,
+        jax.device_put(ts0.bn_state, replicated(mesh)),
+        opt,
+    )
+    ts_b, _ = _run_steps(ts_b, step2, shard_batch(mesh, batch), rng, 3)
+    for a, b in zip(jax.tree_util.tree_leaves(ts_a.params),
+                    jax.tree_util.tree_leaves(ts_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_zero1_opt_sharding_composes_with_tp():
+    """Buffers of TP-sharded params keep the param's "model"-axis dim and
+    take the ZeRO data shard on ANOTHER dim (or compose both axes on the one
+    dim for 1-D BN buffers) — a data-only spec on the model-sharded dim would
+    force GSPMD to reshard those buffers against the gradient layout every
+    step (ADVICE r3)."""
+    from jax.sharding import PartitionSpec as P
+
+    from yolojax.parallel.mesh import opt_state_shardings
+
+    mesh = make_mesh(data=4, model=2)
+    fake = {
+        "fat_kernel": jnp.zeros((3, 3, 512, 1024)),   # TP dim 3
+        "fat_bn": jnp.zeros((1024,)),                 # TP dim 0 (only dim)
+        "thin_kernel": jnp.zeros((3, 3, 3, 32)),      # replicated over model
+        "scalar": jnp.zeros(()),
+    }
+    sh = opt_state_shardings(mesh, fake)
+    assert sh["fat_kernel"].spec == P(None, None, "data", "model")
+    assert sh["fat_bn"].spec == P(("model", "data"))
+    assert sh["thin_kernel"].spec == P(None, None, None, "data")
+    assert sh["scalar"].spec == P()
+
+
 def test_multiscale_schedule_deterministic():
     sched = MultiScaleSchedule(dims=(320, 352, 384), every=10, seed=1)
     dims = [sched.dim_at(s) for s in range(40)]

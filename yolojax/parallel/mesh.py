@@ -63,6 +63,27 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def _tp_dim(leaf, tp_size: int, tp_threshold: int) -> Optional[int]:
+    """Index of the dim ``param_shardings`` puts on the "model" axis for a
+    leaf of this shape, or None when the leaf replicates over "model"."""
+    if (
+        tp_size > 1
+        and getattr(leaf, "ndim", 0) == 4
+        and leaf.shape[-1] >= tp_threshold
+        and leaf.shape[-1] % tp_size == 0
+    ):
+        return 3
+    if (
+        tp_size > 1
+        and getattr(leaf, "ndim", 0) == 1
+        and leaf.shape[0] >= tp_threshold
+        and leaf.shape[0] % tp_size == 0
+    ):
+        # BN scale/bias/mean/var attached to a tp-sharded conv
+        return 0
+    return None
+
+
 def param_shardings(
     mesh: Mesh, params: Dict[str, Any], *, tp_threshold: int = 1024
 ) -> Dict[str, Any]:
@@ -72,27 +93,19 @@ def param_shardings(
     tp_size = mesh.shape["model"]
 
     def rule(path, leaf):
-        if (
-            tp_size > 1
-            and leaf.ndim == 4
-            and leaf.shape[-1] >= tp_threshold
-            and leaf.shape[-1] % tp_size == 0
-        ):
-            return NamedSharding(mesh, P(None, None, None, "model"))
-        if (
-            tp_size > 1
-            and leaf.ndim == 1
-            and leaf.shape[0] >= tp_threshold
-            and leaf.shape[0] % tp_size == 0
-        ):
-            # BN scale/bias/mean/var attached to a tp-sharded conv
-            return NamedSharding(mesh, P("model"))
-        return NamedSharding(mesh, P())
+        d = _tp_dim(leaf, tp_size, tp_threshold)
+        if d is None:
+            return NamedSharding(mesh, P())
+        spec = [None] * leaf.ndim
+        spec[d] = "model"
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
-def opt_state_shardings(mesh: Mesh, opt_state: Any) -> Any:
+def opt_state_shardings(
+    mesh: Mesh, opt_state: Any, *, tp_threshold: int = 1024
+) -> Any:
     """ZeRO-1-style optimizer-state sharding: per-param buffers (momentum,
     Adam moments, the EMA copy) are sharded over the DATA axis so each
     data-parallel chip stores 1/N of the optimizer state instead of a full
@@ -102,21 +115,39 @@ def opt_state_shardings(mesh: Mesh, opt_state: Any) -> Any:
     the "How to Scale Your Model" optimizer-sharding recipe).
 
     Rule: shard the largest axis that divides the data-mesh size; scalars
-    (step counts) and indivisible leaves replicate. Math is unchanged — the
-    update is elementwise over the shard — so training is bitwise-compatible
-    with the replicated layout up to reduction order.
+    (step counts) and indivisible leaves replicate. Buffers whose param is
+    TP-sharded keep the param's "model"-axis dim and take the data shard on
+    another dim (or compose both axes on the same dim when it is the only
+    one) — a data-only spec on the model-sharded dim would force GSPMD to
+    reshard those buffers against the gradient layout every step. Math is
+    unchanged — the update is elementwise over the shard — so training is
+    numerically identical to the replicated layout up to reduction order.
     """
     dp = mesh.shape["data"]
+    tp_size = mesh.shape["model"]
 
     def rule(leaf):
-        if dp > 1 and getattr(leaf, "ndim", 0) >= 1:
-            dims = sorted(range(leaf.ndim), key=lambda d: -leaf.shape[d])
+        if getattr(leaf, "ndim", 0) < 1:
+            return NamedSharding(mesh, P())
+        spec = [None] * leaf.ndim
+        tp_d = _tp_dim(leaf, tp_size, tp_threshold)
+        if tp_d is not None:
+            spec[tp_d] = "model"
+        if dp > 1:
+            dims = sorted((d for d in range(leaf.ndim) if d != tp_d),
+                          key=lambda d: -leaf.shape[d])
             for d in dims:
                 if leaf.shape[d] % dp == 0 and leaf.shape[d] >= dp:
-                    spec = [None] * leaf.ndim
                     spec[d] = "data"
-                    return NamedSharding(mesh, P(*spec))
-        return NamedSharding(mesh, P())
+                    break
+            else:
+                if (tp_d is not None
+                        and leaf.shape[tp_d] % (tp_size * dp) == 0):
+                    # 1-D BN buffers of a TP conv: both axes on the one dim
+                    spec[tp_d] = ("model", "data")
+        if all(s is None for s in spec):
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map(rule, opt_state)
 

@@ -62,9 +62,24 @@ class Checkpointer:
             return None, template
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                           template)
-        state = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract)
-        )
+        try:
+            state = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract)
+            )
+        except Exception as e:
+            # The most common cause is a changed optimizer-state layout:
+            # enabling/disabling train.ema_decay or train.grad_accum adds/
+            # removes optax wrapper states, so the checkpointed tree no
+            # longer matches the template and Orbax raises an opaque
+            # structure mismatch. Name the likely cause instead.
+            raise RuntimeError(
+                f"failed to restore checkpoint step {step} from {self._dir} "
+                f"into the current train-state layout. If optimizer flags "
+                f"changed since this logdir was created (train.ema_decay / "
+                f"train.grad_accum add or remove optimizer-state wrappers), "
+                f"resume with the original flags or start a fresh logdir. "
+                f"Original error: {type(e).__name__}: {e}"
+            ) from e
         log.info("restored checkpoint step=%d from %s", step, self._dir)
         return step, state
 
