@@ -52,6 +52,29 @@ def test_yolo2_multiscale(dim):
     assert out.shape == (1, g, g, 5, 25)
 
 
+def test_pad_input_channels_bitwise_exact():
+    """pad_input_channels zero-pads the image + first-conv kernel rows: the
+    head AND the parameter gradients must be bitwise identical to the
+    unpadded forward (zero channels contribute exact +0.0 terms; the
+    kernel-pad VJP is a slice)."""
+    m = get_model("yolo2", "tiny", num_classes=4)
+    params, state = m.init(jax.random.PRNGKey(0), 64)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3), F32)
+
+    def head_sum(p, pad):
+        out, _ = m.apply(p, state, x, train=True, compute_dtype=F32,
+                         pad_input_channels=pad)
+        return (out ** 2).sum()
+
+    for pad in (4, 8):
+        a, ga = jax.value_and_grad(lambda p: head_sum(p, 0))(params)
+        b, gb = jax.value_and_grad(lambda p: head_sum(p, pad))(params)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_yolo1_tiny_shapes():
     # Reduced dim 192 -> 3x3 pre-flatten grid mirrors 448 -> 7x7 structure.
     m = get_model("yolo", "tiny", num_classes=20, grid=7)

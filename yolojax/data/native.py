@@ -17,7 +17,10 @@ import numpy as np
 
 log = logging.getLogger(__name__)
 
-_NATIVE_DIR = os.path.join(
+# source checkout: native/ sits beside the yolojax package; pip installs
+# don't ship the C++ pool — point YOLOJAX_NATIVE_DIR at a built checkout's
+# native/ to use it there (the loader falls back to threads otherwise)
+_NATIVE_DIR = os.environ.get("YOLOJAX_NATIVE_DIR") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "native",
 )

@@ -64,6 +64,7 @@ class Model:
         train: bool = False,
         rng: Optional[jax.Array] = None,
         compute_dtype=jnp.bfloat16,
+        pad_input_channels: int = 0,
     ) -> Tuple[jax.Array, Dict[str, Any]]:
         """images: (N, H, W, 3) in [0, 1]. Returns (head, new_state)."""
         out, new_state = apply_network(
@@ -74,6 +75,7 @@ class Model:
             train=train,
             rng=rng,
             compute_dtype=compute_dtype,
+            pad_input_channels=pad_input_channels,
         )
         if self.kind == "v2":
             n, h, w, _ = out.shape

@@ -324,14 +324,35 @@ def apply_network(
     bn_eps: float = 1e-5,
     compute_dtype: jnp.dtype = jnp.bfloat16,
     leaky_alpha: float = 0.1,
+    pad_input_channels: int = 0,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """Run the network. Returns (output, new_state).
 
     In ``train`` mode BN uses batch statistics and returns updated running
     stats; in eval mode it uses ``state`` and returns it unchanged. The whole
     function is trace-friendly: no data-dependent Python control flow.
+
+    ``pad_input_channels``: zero-pad the RGB input (and the first conv
+    kernel's input-channel rows) up to this count. Bitwise-exact — the zero
+    channels contribute exact +0.0 terms to the MXU accumulation and the
+    kernel-pad VJP is a slice, so gradients to the real kernel rows are
+    unchanged. Built to test whether C=3 lane waste explains conv0's
+    weight-gradient cost; measured NO effect on v5e at pad 4/8 (train and
+    forward within noise, PERF.md round-4 — XLA's conv packing already
+    handles the 3-channel case), kept for other TPU generations. Off (0)
+    by default.
     """
     new_state = dict(state)
+    if (
+        pad_input_channels
+        and specs
+        and isinstance(specs[0], ConvSpec)
+        and x.shape[-1] < pad_input_channels
+    ):
+        x = jnp.pad(
+            x, ((0, 0),) * (x.ndim - 1)
+            + ((0, pad_input_channels - x.shape[-1]),)
+        )
     outputs = []  # per-spec outputs for RouteSpec
     layout = "NHWC"  # the Pallas stem emits "NHCW"; the next conv restores
     for i, spec in enumerate(specs):
@@ -360,7 +381,15 @@ def apply_network(
             continue
         if isinstance(spec, ConvSpec):
             layer = params[_conv_name(i)]
-            y = conv2d(x, layer["w"], spec.stride, compute_dtype=compute_dtype,
+            w = layer["w"]
+            if i == 0 and x.shape[-1] > w.shape[2] and layout == "NHWC":
+                # input was channel-padded above: pad the kernel's input
+                # rows with zeros to match (VJP = slice; grads unchanged)
+                w = jnp.concatenate(
+                    [w, jnp.zeros(w.shape[:2]
+                                  + (x.shape[-1] - w.shape[2], w.shape[3]),
+                                  w.dtype)], axis=2)
+            y = conv2d(x, w, spec.stride, compute_dtype=compute_dtype,
                        in_layout=layout)
             layout = "NHWC"
             # upcast per-element for the epilogue math; XLA fuses the cast

@@ -220,6 +220,7 @@ def make_train_step(
     augment: bool = True,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    pad_input_channels: int = 0,
 ):
     """Build the fused train step fn(state, batch, rng, dim) -> (state, metrics).
 
@@ -267,6 +268,7 @@ def make_train_step(
             return model.apply(
                 params, ts.bn_state, images, train=True, rng=rng_drop,
                 compute_dtype=compute_dtype,
+                pad_input_channels=pad_input_channels,
             )
 
         fwd = jax.checkpoint(forward) if remat else forward
