@@ -254,8 +254,10 @@ def test_allgather_shards_roundtrip_single_process():
 
     dets = [(0, 3, 0.9, np.asarray([0.1, 0.2, 0.3, 0.4], np.float32)),
             (2, 1, 0.5, np.asarray([0.0, 0.0, 1.0, 1.0], np.float32))]
-    gts = [(1, 2, np.asarray([0.2, 0.2, 0.8, 0.8], np.float32))]
-    d2, g2, n = _allgather_shards(dets, gts, 3, 1)
+    gts = [(1, 2, np.asarray([0.2, 0.2, 0.8, 0.8], np.float32)),
+           (0, 4, np.asarray([0.1, 0.1, 0.5, 0.5], np.float32))]
+    diff = [False, True]
+    d2, g2, diff2, n = _allgather_shards(dets, gts, diff, 3, 1)
     assert n == 3
     assert [(a, b) for a, b, _, _ in d2] == [(0, 3), (2, 1)]
     np.testing.assert_allclose([c for _, _, c, _ in d2], [0.9, 0.5],
@@ -264,9 +266,10 @@ def test_allgather_shards_roundtrip_single_process():
     np.testing.assert_allclose(d2[1][3], dets[1][3])
     assert g2[0][0] == 1 and g2[0][1] == 2
     np.testing.assert_allclose(g2[0][2], gts[0][2])
+    assert diff2 == diff  # difficult flags survive the f32 row packing
     # empty shards: no detections at all must not crash the collectives
-    d3, g3, n3 = _allgather_shards([], [], 0, 1)
-    assert d3 == [] and g3 == [] and n3 == 0
+    d3, g3, diff3, n3 = _allgather_shards([], [], [], 0, 1)
+    assert d3 == [] and g3 == [] and diff3 == [] and n3 == 0
 
 
 def test_evaluate_model_difficult_gt_ignored(tmp_path):
