@@ -31,13 +31,23 @@ def main():
     parser.add_argument("--out", required=True,
                         help="artifact output path (suggest .yjsa; a "
                              "directory for --format savedmodel)")
-    parser.add_argument("--format", choices=("artifact", "savedmodel"),
+    parser.add_argument("--format", choices=("artifact", "savedmodel",
+                                             "tflite"),
                         default="artifact",
                         help="'artifact': jax.export StableHLO for the "
                              "current backend (default). 'savedmodel': TF "
                              "SavedModel via jax2tf (portable CPU graph) "
                              "for TF Serving hosts — the reference's own "
-                             "deployment runtime")
+                             "deployment runtime. 'tflite': one .tflite "
+                             "flatbuffer for edge hosts (TFLite "
+                             "interpreter with the Flex delegate)")
+    parser.add_argument("--tflite-mode", choices=("graph", "stablehlo"),
+                        default="graph",
+                        help="tflite lowering: 'graph' = plain TF ops -> "
+                             "builtins + Flex (default, widest runtime "
+                             "support); 'stablehlo' = native StableHLO "
+                             "opset (smaller, needs a StableHLO-enabled "
+                             "interpreter)")
     parser.add_argument("--batch", type=int, default=1,
                         help="fixed serving batch size baked into the "
                              "artifact (default 1; --stdin serving needs 1)")
@@ -85,7 +95,7 @@ def main():
                                        stretch=cfg.detect.stretch)
             calib.append(canvas)
 
-    portable = args.format == "savedmodel"
+    portable = args.format in ("savedmodel", "tflite")
     names, dim, infer_fn, params, bn_state = build_serving(
         cfg, args.weights, calib, portable=portable)
     header = {
@@ -97,7 +107,7 @@ def main():
         "stretch": bool(cfg.detect.stretch),
         "int8": bool(cfg.detect.use_int8),
     }
-    if portable:
+    if args.format == "savedmodel":
         from yolojax.serve.savedmodel import save_savedmodel
 
         meta = save_savedmodel(args.out, infer_fn, params, bn_state,
@@ -106,6 +116,20 @@ def main():
                  meta["model"], meta["dim"], meta["batch"])
         print(f"{args.out}: {meta['model']} dim={meta['dim']} "
               f"batch={meta['batch']} format=savedmodel platforms=cpu")
+        return
+    if args.format == "tflite":
+        from yolojax.serve.tflite import save_tflite
+
+        meta = save_tflite(args.out, infer_fn, params, bn_state,
+                           batch=args.batch, dim=dim, meta=header,
+                           mode=args.tflite_mode)
+        log.info("exported TFLite %s: %s dim %d batch %d mode %s (%.1f MB)",
+                 args.out, meta["model"], meta["dim"], meta["batch"],
+                 meta["conversion"], meta["payload_bytes"] / 1e6)
+        print(f"{args.out}: {meta['model']} dim={meta['dim']} "
+              f"batch={meta['batch']} format=tflite "
+              f"conversion={meta['conversion']} "
+              f"{meta['payload_bytes'] / 1e6:.1f} MB")
         return
     meta = save_artifact(
         args.out, infer_fn, params, bn_state, batch=args.batch, dim=dim,

@@ -996,3 +996,61 @@ def test_35_train_zero1_ema_accum_cli(workspace, monkeypatch, tmp_path):
         "detect.threshold=0.0001", "detect.use_ema=1",
     ], monkeypatch)
     assert out.exists()
+
+
+def test_36_export_tflite(workspace, monkeypatch, capsys, tmp_path):
+    """TFLite export (cli/export.py --format tflite): the jax2tf graph
+    bridge serves the same detections under the TFLite interpreter (Flex
+    delegate) that the live --weights portable build produces — the
+    edge-deployment surface the reference never had."""
+    _ensure_prereqs(workspace, monkeypatch)
+    pytest.importorskip("tensorflow")
+
+    tfl = str(tmp_path / "model.tflite")
+    _run("cli.export", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--out", tfl, "--format", "tflite", "--batch", "1",
+        "detect.threshold=0.0001",
+    ], monkeypatch)
+    head = capsys.readouterr().out.strip().splitlines()[-1]
+    assert "format=tflite" in head and "conversion=graph" in head
+    assert os.path.exists(tfl) and os.path.exists(tfl + ".json")
+
+    from yolojax.serve.tflite import load_tflite
+
+    meta, serve_fn = load_tflite(tfl)
+    assert meta["names"][0] == "aeroplane" and meta["batch"] == 1
+    assert meta["format"] == "tflite"
+
+    # serve a real letterboxed workspace image and compare the kept
+    # detections against the live portable build. TFLite builtins are
+    # different kernels than XLA's (not the same bits), so scores/boxes
+    # get a small float tolerance; the kept set and classes must agree.
+    import jax
+
+    from cli.detect import _read_rgb, build_serving
+    from yolojax.config import load_config
+    from yolojax.data.augment import letterbox_host
+
+    cfg = load_config([str(workspace / "test.ini")],
+                      ["detect.threshold=0.0001"])
+    img = str(workspace / "voc" / "JPEGImages" / "000000.jpg")
+    canvas, _ = letterbox_host(_read_rgb(img), cfg.model.dim,
+                               stretch=cfg.detect.stretch)
+    x = np.stack([canvas])
+    got = serve_fn(x)
+    assert set(got) == {"boxes", "scores", "classes", "keep"}
+    _, _, infer_fn, params, bn_state = build_serving(
+        cfg, str(workspace / "logdir" / "yolo2_tiny"), portable=True)
+    want = jax.device_get(infer_fn(params, bn_state, x))
+    np.testing.assert_array_equal(got["keep"], np.asarray(want["keep"]))
+    keep = np.asarray(want["keep"][0])
+    np.testing.assert_array_equal(got["classes"][0][keep],
+                                  np.asarray(want["classes"][0][keep]))
+    np.testing.assert_allclose(got["boxes"][0][keep],
+                               np.asarray(want["boxes"][0][keep]),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(got["scores"][0][keep],
+                               np.asarray(want["scores"][0][keep]),
+                               atol=1e-3, rtol=1e-3)
