@@ -312,3 +312,120 @@ num_processes = 2
                open(tmp_path / "logdir" / "yolo2_tiny" / "metrics.jsonl")]
     assert any("val_map" in m for m in metrics), metrics
     assert any(any(k.startswith("hist/") for k in m) for m in metrics)
+
+
+def test_two_process_sigkill_resume(tmp_path):
+    """Multi-host failure recovery (SURVEY.md §5): SIGKILL BOTH coordinated
+    processes mid-training — a hard job failure, no signal handlers, no
+    orbax finalization, possibly mid-collective — then restart the job on a
+    fresh coordinator port. The restart must resume from the latest durable
+    checkpoint (tolerating a partially-written step dir from the kill
+    moment), never begin again at step 1."""
+    import signal
+    import time
+
+    voc = tmp_path / "voc"
+    write_synthetic_voc(str(voc), n_images=8, size=(96, 64))
+    ini = tmp_path / "mpc.ini"
+    port = _free_port()
+    ini.write_text(f"""
+[model]
+model = yolo2
+inference = tiny
+dim = 64
+names_file = {REPO}/config/names/voc.txt
+anchors = 1.08,1.19 3.42,4.41
+[cache]
+basedir = {tmp_path}/cache
+train = voc:{voc}:trainval
+[queue]
+batch_size = 8
+canvas_dim = 64
+max_boxes = 8
+num_threads = 2
+[train]
+logdir = {tmp_path}/logdir
+steps = 40
+save_steps = 1
+summary_steps = 1
+compute_dtype = float32
+optimizer = sgd
+learning_rate = 1e-4
+weight_decay = 0
+coordinator = 127.0.0.1:{port}
+num_processes = 2
+""")
+    driver = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys; sys.path.insert(0, {repo!r}); "
+        "sys.argv = ['x', '-c', {ini!r}{extra}]; "
+        "from cli.{mod} import main; main()"
+    )
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    subprocess.run(
+        [sys.executable, "-c",
+         driver.format(repo=REPO, ini=str(ini), extra="", mod="cache")],
+        check=True, env=env, cwd=REPO, timeout=120,
+    )
+
+    def launch(extra_overrides, coord_port):
+        procs = []
+        for pid in range(2):
+            extra = (f", 'train.process_id={pid}', "
+                     f"'train.coordinator=127.0.0.1:{coord_port}'"
+                     + extra_overrides)
+            code = driver.format(repo=REPO, ini=str(ini), extra=extra,
+                                 mod="train")
+            procs.append(subprocess.Popen(
+                [sys.executable, "-c", code], env=env, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            ))
+        return procs
+
+    metrics = tmp_path / "logdir" / "yolo2_tiny" / "metrics.jsonl"
+    procs = launch("", port)
+    try:
+        deadline = time.time() + 900
+        killed_after = 0
+        while time.time() < deadline:
+            if any(p.poll() is not None for p in procs):
+                outs = [p.communicate()[0].decode() for p in procs
+                        if p.poll() is not None]
+                raise AssertionError(
+                    "train exited before it could be killed:\n"
+                    + "\n".join(o[-2000:] for o in outs))
+            if metrics.exists():
+                lines = metrics.read_text().strip().splitlines()
+                if len(lines) >= 3:
+                    killed_after = max(json.loads(l)["step"] for l in lines)
+                    for p in procs:  # both at once: a whole-job failure
+                        os.kill(p.pid, signal.SIGKILL)
+                    break
+            time.sleep(0.5)
+        else:
+            raise AssertionError("train never reached step 3 in 900s")
+        for p in procs:
+            p.wait(timeout=60)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    # restart the whole job on a FRESH coordinator port (the old one died
+    # with the killed coordinator process) and a shorter horizon
+    port2 = _free_port()
+    procs = launch(f", 'train.steps={killed_after + 2}'", port2)
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, f"proc {i} failed:\n{outs[i][-3000:]}"
+    assert "resumed from step" in outs[0], outs[0][-2000:]
+    assert "resumed from step" in outs[1], outs[1][-2000:]
+
+    lines = [json.loads(l) for l in metrics.read_text().strip().splitlines()]
+    steps = [m["step"] for m in lines]
+    assert max(steps) == killed_after + 2
+    assert steps.count(1) == 1, "restart must not begin again at step 1"

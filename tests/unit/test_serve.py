@@ -80,3 +80,10 @@ def test_directory_rejected(tmp_path):
 
     with pytest.raises(ValueError, match="directory"):
         load_artifact(str(tmp_path))
+
+
+def test_tflite_handed_to_artifact_gets_a_hint(tmp_path):
+    p = tmp_path / "model.tflite"
+    p.write_bytes(b"TFL3 flatbuffer bytes")
+    with pytest.raises(ValueError, match="TFLite interpreter"):
+        load_artifact(str(p))

@@ -98,8 +98,11 @@ def load_artifact(path: str) -> ServingArtifact:
     with open(path, "rb") as f:
         head = f.read(len(MAGIC))
         if head != MAGIC:
+            hint = (" — .tflite flatbuffers serve under the TFLite "
+                    "interpreter (yolojax.serve.tflite.load_tflite), "
+                    "not --artifact" if path.endswith(".tflite") else "")
             raise ValueError(
-                f"{path}: not a yolojax serving artifact (bad magic)")
+                f"{path}: not a yolojax serving artifact (bad magic){hint}")
         (n,) = (int.from_bytes(f.read(4), "little"),)
         try:
             meta = json.loads(f.read(n).decode("utf-8"))

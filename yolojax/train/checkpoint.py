@@ -81,6 +81,17 @@ class Checkpointer:
                 f"Original error: {type(e).__name__}: {e}"
             ) from e
         log.info("restored checkpoint step=%d from %s", step, self._dir)
+        # Return HOST leaves: Orbax hands back process-local jax.Arrays
+        # (the saved state was host numpy, so there is no sharding
+        # metadata), and under a multi-process runtime a later
+        # jax.device_put of such an array into a global (replicated/
+        # sharded) NamedSharding demands a cross-host device transfer the
+        # backend refuses. From host numpy, placement takes the same
+        # every-process-provides-the-value path a fresh init does.
+        import numpy as np
+
+        state = jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x)), state)
         return step, state
 
     def restore_latest_raw(self) -> Tuple[Optional[int], Any]:
