@@ -1,0 +1,148 @@
+"""HTTP serving daemon (cli/serve.py): parity with the direct detect path,
+dynamic batching under concurrent load, error paths. Runs the real
+ThreadingHTTPServer in-process on an ephemeral port (CPU backend via
+conftest)."""
+
+import concurrent.futures
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return r.status, json.loads(r.read().decode())
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, json.loads(r.read().decode())
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import cv2
+
+    from yolojax.config import load_config
+    from yolojax.convert.store import save_params_npz
+    from yolojax.models import get_model
+
+    from cli.serve import build_server
+
+    tmp = tmp_path_factory.mktemp("serve")
+    names = tmp / "names.txt"
+    names.write_text("aero\nbike\ncar\n")
+    anchors = ((1.0, 1.0), (2.5, 1.5))
+    model = get_model("yolo2", "tiny", num_classes=3, anchors=anchors)
+    params, state = model.init(jax.random.PRNGKey(3), 64)
+    npz = tmp / "w.npz"
+    save_params_npz(str(npz), params, state)
+
+    ini = tmp / "serve.ini"
+    ini.write_text(f"""
+[model]
+model = yolo2
+inference = tiny
+dim = 64
+names_file = {names}
+anchors = 1.0,1.0 2.5,1.5
+[detect]
+threshold = 0.001
+top_k = 32
+[eval]
+batch_size = 4
+""")
+    cfg = load_config([str(ini)], [])
+    httpd, batcher = build_server(cfg, "127.0.0.1", 0, weights=str(npz),
+                                  batch=4, window_ms=100)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    rng = np.random.default_rng(11)
+    imgs = [rng.integers(0, 255, (90, 120, 3), np.uint8).astype(np.uint8)
+            for _ in range(5)]
+    blobs = [cv2.imencode(".png", cv2.cvtColor(im, cv2.COLOR_RGB2BGR))[1]
+             .tobytes() for im in imgs]
+
+    yield {"base": base, "cfg": cfg, "npz": str(npz), "imgs": imgs,
+           "blobs": blobs, "batcher": batcher}
+    httpd.shutdown()
+    httpd.server_close()
+    batcher.close()
+
+
+def test_healthz(server):
+    status, body = _get(server["base"] + "/healthz")
+    assert status == 200
+    assert body["status"] == "ok" and body["dim"] == 64
+    assert body["batch"] == 4 and body["names"] == ["aero", "bike", "car"]
+
+
+def test_detect_parity_with_direct_path(server):
+    """The HTTP answer must equal the direct build_detector + _extract
+    path on the same image (same graph, same letterbox, same
+    un-letterbox), modulo the JSON rounding (boxes 2dp, scores 5dp)."""
+    from yolojax.data.augment import letterbox_host
+
+    from cli.detect import _extract, build_detector
+
+    _, body = _post(server["base"] + "/detect", server["blobs"][0])
+    assert body["image"] == {"width": 120, "height": 90}
+    assert 1 <= body["batch_fill"] <= 4
+
+    names, dim, infer = build_detector(server["cfg"], server["npz"])
+    raw = server["imgs"][0]
+    canvas, tf = letterbox_host(raw, dim, stretch=False)
+    filler = np.full((dim, dim, 3), 0.5, np.float32)
+    out = infer(np.stack([canvas, filler, filler, filler]))
+    want = _extract(out, 0, tf, raw.shape, names)
+
+    got = body["detections"]
+    assert len(got) == len(want) > 0, (got, want)
+    for g, (name, cls, score, box) in zip(got, want):
+        assert g["name"] == name and g["class"] == cls
+        assert g["score"] == pytest.approx(score, abs=1e-4)
+        assert g["box"] == pytest.approx(list(box), abs=0.02)
+
+
+def test_concurrent_requests_share_batches(server):
+    before = server["batcher"].stats()["images"]
+    with concurrent.futures.ThreadPoolExecutor(5) as pool:
+        results = list(pool.map(
+            lambda b: _post(server["base"] + "/detect", b),
+            server["blobs"]))
+    assert all(status == 200 for status, _ in results)
+    for _, body in results:
+        assert "detections" in body and 1 <= body["batch_fill"] <= 4
+    stats = server["batcher"].stats()
+    assert stats["images"] - before == 5
+    assert stats["errors"] == 0
+
+
+def test_error_paths(server):
+    base = server["base"]
+    # undecodable body
+    status = None
+    try:
+        _post(base + "/detect", b"this is not an image")
+    except urllib.error.HTTPError as e:
+        status = e.code
+        assert "undecodable" in e.read().decode()
+    assert status == 400
+    # unknown path
+    try:
+        _get(base + "/nope")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    else:
+        raise AssertionError("expected 404")
+    # stats endpoint still alive after errors
+    status, stats = _get(base + "/stats")
+    assert status == 200 and stats["images"] >= 1

@@ -1,0 +1,119 @@
+"""DynamicBatcher (yolojax/serve/batching.py): fill semantics, windowing,
+error propagation, shutdown. The HTTP surface riding it is covered by
+tests/e2e/test_http_serve.py."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from yolojax.serve.batching import DynamicBatcher
+
+DIM = 8
+FILLER = np.zeros((DIM, DIM, 3), np.float32)
+
+
+def _canvas(v):
+    return np.full((DIM, DIM, 3), float(v), np.float32)
+
+
+class RecordingInfer:
+    """Fake device fn: echoes each canvas's fill value so per-slot routing
+    is checkable; records every batch it saw."""
+
+    def __init__(self, fail=False):
+        self.batches = []
+        self.fail = fail
+        self.lock = threading.Lock()
+
+    def __call__(self, canvases):
+        with self.lock:
+            self.batches.append(np.array(canvases))
+        if self.fail:
+            raise ValueError("device exploded")
+        return {"tag": canvases[:, 0, 0, 0].copy()}
+
+
+def _submit_concurrently(batcher, values):
+    results = {}
+    errors = {}
+
+    def go(v):
+        try:
+            results[v] = batcher.submit(_canvas(v))
+        except Exception as e:  # noqa: BLE001 — recorded for assertions
+            errors[v] = e
+
+    threads = [threading.Thread(target=go, args=(v,)) for v in values]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(30)
+    return results, errors
+
+
+def test_full_batch_dispatches_without_waiting_for_window():
+    infer = RecordingInfer()
+    b = DynamicBatcher(infer, batch=3, filler=FILLER, window_ms=10_000)
+    t0 = time.monotonic()
+    results, errors = _submit_concurrently(b, [1, 2, 3])
+    assert not errors
+    assert time.monotonic() - t0 < 5, "a full batch must not wait the window"
+    assert len(infer.batches) == 1 and infer.batches[0].shape[0] == 3
+    for v, (res, fill) in results.items():
+        assert res["tag"] == pytest.approx(float(v))  # slot routing
+        assert fill == 3
+    b.close()
+
+
+def test_partial_batch_dispatches_at_window_close_with_padding():
+    infer = RecordingInfer()
+    b = DynamicBatcher(infer, batch=4, filler=_canvas(-1), window_ms=150)
+    results, errors = _submit_concurrently(b, [5, 6])
+    assert not errors
+    (batch,) = infer.batches
+    assert batch.shape[0] == 4  # padded to the compiled batch size
+    assert sorted(batch[:, 0, 0, 0].tolist()) == [-1.0, -1.0, 5.0, 6.0]
+    assert all(fill == 2 for _, fill in results.values())
+    b.close()
+
+
+def test_queue_larger_than_batch_splits_into_chunks():
+    infer = RecordingInfer()
+    b = DynamicBatcher(infer, batch=2, filler=FILLER, window_ms=10_000)
+    results, errors = _submit_concurrently(b, [1, 2, 3, 4, 5, 6])
+    assert not errors and len(results) == 6
+    assert len(infer.batches) == 3
+    assert b.stats()["images"] == 6 and b.stats()["mean_fill"] == 2.0
+    b.close()
+
+
+def test_infer_error_propagates_to_every_submitter():
+    infer = RecordingInfer(fail=True)
+    b = DynamicBatcher(infer, batch=2, filler=FILLER, window_ms=50)
+    results, errors = _submit_concurrently(b, [1, 2])
+    assert not results and len(errors) == 2
+    assert all("device exploded" in str(e) for e in errors.values())
+    assert b.stats()["errors"] >= 1
+    b.close()
+
+
+def test_submit_after_close_raises():
+    b = DynamicBatcher(RecordingInfer(), batch=1, filler=FILLER)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(_canvas(1))
+
+
+def test_batch_one_is_passthrough():
+    infer = RecordingInfer()
+    b = DynamicBatcher(infer, batch=1, filler=FILLER, window_ms=10_000)
+    res, fill = b.submit(_canvas(7))
+    assert fill == 1 and res["tag"] == pytest.approx(7.0)
+    b.close()
+
+
+def test_invalid_batch_rejected():
+    with pytest.raises(ValueError, match=">= 1"):
+        DynamicBatcher(RecordingInfer(), batch=0, filler=FILLER)

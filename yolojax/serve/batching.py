@@ -1,0 +1,151 @@
+"""Dynamic request batching for the detection serving daemon.
+
+Production TPU serving lives or dies on batch fill: the compiled detect
+graph has a fixed batch dimension B (one XLA program, compiled once), and
+the chip spends the same wall time on a half-empty batch as on a full one.
+This batcher aggregates concurrently-arriving single-image requests into
+one device dispatch: the first request into an empty queue opens a window
+of ``window_ms``; the batch launches when either B requests are waiting or
+the window closes, padded to B with a filler canvas. Per-request results
+are scattered back to the blocked submitters.
+
+The reference had no serving layer at all — its ``detect.py`` rebuilt the
+TF graph and restored the checkpoint per invocation (SURVEY.md §3.3); the
+closest upstream analogue of this component is TF-Serving's batching
+scheduler. Here it is ~150 lines of stdlib threading around one jitted
+call, because the XLA program IS the server backend.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Callable, Dict, List
+
+import numpy as np
+
+
+class _Pending:
+    __slots__ = ("canvas", "done", "result", "error", "fill")
+
+    def __init__(self, canvas):
+        self.canvas = canvas
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+        self.fill = 0
+
+
+class DynamicBatcher:
+    """Batch concurrent ``submit`` calls into fixed-size ``infer`` calls.
+
+    ``infer(canvases)`` receives a ``(batch, dim, dim, 3)`` float32 array
+    and must return a dict of host arrays with leading dim ``batch``
+    (the contract of ``cli/detect.py``'s ``build_detector`` inference fn).
+    ``filler`` pads partial batches — it must be a valid single canvas.
+    """
+
+    def __init__(
+        self,
+        infer: Callable[[np.ndarray], Dict[str, Any]],
+        batch: int,
+        filler: np.ndarray,
+        window_ms: float = 5.0,
+    ):
+        if batch < 1:
+            raise ValueError(f"batch must be >= 1, got {batch}")
+        self._infer = infer
+        self._batch = int(batch)
+        self._filler = np.asarray(filler, np.float32)
+        self._window = max(float(window_ms), 0.0) / 1e3
+        self._cv = threading.Condition()
+        self._queue: List[_Pending] = []
+        self._closed = False
+        self._images = 0
+        self._batches = 0
+        self._sum_fill = 0
+        self._errors = 0
+        self._worker = threading.Thread(
+            target=self._run, name="yolojax-batcher", daemon=True)
+        self._worker.start()
+
+    def submit(self, canvas: np.ndarray):
+        """Block until ``canvas`` has been through a batch; return
+        ``(result, fill)``: this image's slice of the infer outputs
+        (per-image arrays, batch dim dropped) and how many real images
+        shared its batch — re-raises the infer exception if its batch
+        failed."""
+        p = _Pending(canvas)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.append(p)
+            self._cv.notify_all()
+        p.done.wait()
+        if p.error is not None:
+            raise p.error
+        return p.result, p.fill
+
+    def stats(self) -> Dict[str, Any]:
+        with self._cv:
+            return {
+                "images": self._images,
+                "batches": self._batches,
+                "mean_fill": (self._sum_fill / self._batches
+                              if self._batches else 0.0),
+                "errors": self._errors,
+                "queued": len(self._queue),
+            }
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop accepting work, drain whatever is queued, join the
+        worker. Idempotent."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+        self._worker.join(timeout)
+
+    # -- worker ------------------------------------------------------
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._closed:
+                    self._cv.wait()
+                if not self._queue and self._closed:
+                    return
+                # first request opens the batching window; leave early if
+                # the batch fills (or the server is closing — drain fast)
+                deadline = time.monotonic() + self._window
+                while len(self._queue) < self._batch and not self._closed:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cv.wait(remaining)
+                group = self._queue[: self._batch]
+                del self._queue[: self._batch]
+            self._dispatch(group)
+
+    def _dispatch(self, group: List[_Pending]):
+        fill = len(group)
+        canvases = [p.canvas for p in group]
+        canvases += [self._filler] * (self._batch - fill)
+        failed = 0
+        try:
+            out = self._infer(np.stack(canvases))
+            for k, p in enumerate(group):
+                p.result = {key: np.asarray(val)[k]
+                            for key, val in out.items()}
+                p.fill = fill
+        except Exception as e:  # propagate to every blocked submitter
+            failed = 1
+            for p in group:
+                p.error = e
+        finally:
+            for p in group:
+                p.done.set()
+        with self._cv:
+            self._images += fill
+            self._batches += 1
+            self._sum_fill += fill
+            self._errors += failed
