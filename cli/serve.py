@@ -37,20 +37,31 @@ MAX_BODY_BYTES = 32 << 20  # reject absurd uploads before reading them
 def _load_calib(cfg, calib_dir):
     """Letterboxed canvases from a directory of real images, for int8
     activation calibration at server start (same knob as cli/detect.py's
-    batched path; a daemon has no 'first N inputs' to calibrate on)."""
+    batched path; a daemon has no 'first N inputs' to calibrate on).
+    Undecodable files (READMEs, sidecars) are skipped with a warning."""
     import glob
+    import logging
+
+    import cv2
 
     from yolojax.data.augment import letterbox_host
 
-    from cli.detect import _read_rgb
-
-    paths = sorted(
-        p for p in glob.glob(os.path.join(calib_dir, "*"))
-        if os.path.isfile(p))[: max(cfg.detect.calib_images, 1)]
-    if not paths:
+    log = logging.getLogger("serve")
+    canvases = []
+    want = max(cfg.detect.calib_images, 1)
+    for p in sorted(glob.glob(os.path.join(calib_dir, "*"))):
+        if not os.path.isfile(p) or len(canvases) >= want:
+            continue
+        img = cv2.imread(p)
+        if img is None:
+            log.warning("calib-dir: skipping undecodable %s", p)
+            continue
+        raw = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+        canvases.append(letterbox_host(raw, cfg.model.dim,
+                                       stretch=cfg.detect.stretch)[0])
+    if not canvases:
         raise SystemExit(f"--calib-dir {calib_dir}: no image files")
-    return [letterbox_host(_read_rgb(p), cfg.model.dim,
-                           stretch=cfg.detect.stretch)[0] for p in paths]
+    return canvases
 
 
 def build_server(cfg, host, port, weights="", artifact="", batch=0,

@@ -126,6 +126,57 @@ def test_concurrent_requests_share_batches(server):
     assert stats["errors"] == 0
 
 
+def test_int8_server_with_calib_dir(server, tmp_path):
+    """int8 daemon: --calib-dir supplies real calibration images at
+    startup (a daemon has no 'first N requests' to calibrate on); the
+    served graph must answer with the same schema and stay healthy."""
+    import cv2
+    import dataclasses
+
+    from cli.serve import build_server
+
+    calib = tmp_path / "calib"
+    calib.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(3):
+        img = rng.integers(0, 255, (60, 80, 3), np.uint8)
+        cv2.imwrite(str(calib / f"{i}.png"), img)
+    (calib / "notes.txt").write_text("non-image files must be skipped")
+
+    cfg = server["cfg"]
+    cfg = dataclasses.replace(cfg, detect=dataclasses.replace(
+        cfg.detect, use_int8=True, calib_images=4))
+    httpd, batcher = build_server(cfg, "127.0.0.1", 0,
+                                  weights=server["npz"], batch=2,
+                                  window_ms=50, calib_dir=str(calib))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, body = _post(base + "/detect", server["blobs"][0])
+        assert status == 200 and "detections" in body
+        status, health = _get(base + "/healthz")
+        assert health["batch"] == 2 and health["stats"]["errors"] == 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
+def test_calib_dir_without_images_fails_fast(server, tmp_path):
+    import dataclasses
+
+    from cli.serve import build_server
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    cfg = dataclasses.replace(server["cfg"], detect=dataclasses.replace(
+        server["cfg"].detect, use_int8=True))
+    with pytest.raises(SystemExit, match="no image files"):
+        build_server(cfg, "127.0.0.1", 0, weights=server["npz"],
+                     calib_dir=str(empty))
+
+
 def test_error_paths(server):
     base = server["base"]
     # undecodable body
