@@ -65,7 +65,7 @@ def _load_calib(cfg, calib_dir):
 
 
 def build_server(cfg, host, port, weights="", artifact="", batch=0,
-                 window_ms=5.0, calib_dir=""):
+                 window_ms=5.0, calib_dir="", max_queue=0):
     """Build detector + batcher + HTTP server (not yet serving).
 
     Returns (httpd, batcher); ``httpd.serve_forever()`` runs it,
@@ -81,7 +81,7 @@ def build_server(cfg, host, port, weights="", artifact="", batch=0,
     import numpy as np
 
     from yolojax.data.augment import letterbox_host
-    from yolojax.serve.batching import DynamicBatcher
+    from yolojax.serve.batching import DynamicBatcher, QueueFull
 
     from cli.detect import (_extract, build_detector, load_artifact_detector,
                             sync_artifact_cfg)
@@ -106,7 +106,8 @@ def build_server(cfg, host, port, weights="", artifact="", batch=0,
     log.info("warmup: compiling the serving graph (batch %d, dim %d)",
              batch, dim)
     infer(np.stack([filler] * batch))
-    batcher = DynamicBatcher(infer, batch, filler, window_ms=window_ms)
+    batcher = DynamicBatcher(infer, batch, filler, window_ms=window_ms,
+                             max_queue=max_queue)
     stretch = cfg.detect.stretch
 
     def health():
@@ -165,6 +166,8 @@ def build_server(cfg, host, port, weights="", artifact="", batch=0,
             canvas, tf = letterbox_host(raw, dim, stretch=stretch)
             try:
                 res, fill = batcher.submit(canvas)
+            except QueueFull as e:  # backpressure: shed, don't stack
+                return self._json(429, {"error": str(e)})
             except RuntimeError as e:  # closed mid-shutdown
                 return self._json(503, {"error": str(e)})
             out = {k: v[None] for k, v in res.items()}
@@ -200,6 +203,10 @@ def main():
     parser.add_argument("--window-ms", type=float, default=5.0,
                         help="max wait for a batch to fill before "
                              "dispatching a partial one")
+    parser.add_argument("--max-queue", type=int, default=0,
+                        help="requests allowed to wait beyond the batch "
+                             "being assembled before new ones get 429 "
+                             "(0 = 8x batch)")
     parser.add_argument("--calib-dir", default="",
                         help="directory of real images for int8 activation "
                              "calibration (detect.use_int8=1)")
@@ -209,12 +216,19 @@ def main():
         parser.error("exactly one of --weights or --artifact is required")
 
     import logging
+    import signal
 
     log = logging.getLogger("serve")
     httpd, batcher = build_server(
         cfg, args.host, args.port, weights=args.weights,
         artifact=args.artifact, batch=args.batch,
-        window_ms=args.window_ms, calib_dir=args.calib_dir)
+        window_ms=args.window_ms, calib_dir=args.calib_dir,
+        max_queue=args.max_queue)
+
+    def _graceful(signum, frame):  # SIGTERM = orchestrated shutdown
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _graceful)
     log.info("serving on http://%s:%d (POST /detect)",
              *httpd.server_address[:2])
     print(f"READY http://{httpd.server_address[0]}:"
@@ -225,7 +239,7 @@ def main():
         log.info("shutting down")
     finally:
         httpd.server_close()
-        batcher.close()
+        batcher.close()  # drains queued requests before the join
         log.info("final stats: %s", batcher.stats())
 
 

@@ -177,6 +177,62 @@ def test_calib_dir_without_images_fails_fast(server, tmp_path):
                      calib_dir=str(empty))
 
 
+def test_daemon_lifecycle_sigterm(server, tmp_path):
+    """Run the real CLI as a subprocess: READY after warmup, serves a
+    request, exits 0 with final stats on SIGTERM (orchestrated shutdown —
+    what a container runtime sends)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    ini = tmp_path / "d.ini"
+    names = tmp_path / "names.txt"
+    names.write_text("aero\nbike\ncar\n")
+    ini.write_text(f"""
+[model]
+model = yolo2
+inference = tiny
+dim = 64
+names_file = {names}
+anchors = 1.0,1.0 2.5,1.5
+[detect]
+threshold = 0.001
+top_k = 32
+[eval]
+batch_size = 4
+""")
+    env = dict(os.environ, YOLOJAX_PLATFORM="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "cli/serve.py", "-c", str(ini),
+         "--weights", server["npz"], "--port", "0", "--batch", "2"],
+        cwd=repo, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True)
+    try:
+        base = None
+        deadline = time.time() + 600
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line and proc.poll() is not None:
+                raise AssertionError("daemon exited before READY")
+            if line.startswith("READY "):
+                base = line.split()[1].strip()
+                break
+        assert base, "daemon never printed READY"
+        status, body = _post(base + "/detect", server["blobs"][0])
+        assert status == 200 and "detections" in body
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert proc.returncode == 0, out[-2000:]
+    assert "final stats" in out and "'images': 1" in out
+
+
 def test_error_paths(server):
     base = server["base"]
     # undecodable body

@@ -8,7 +8,7 @@ import time
 import numpy as np
 import pytest
 
-from yolojax.serve.batching import DynamicBatcher
+from yolojax.serve.batching import DynamicBatcher, QueueFull
 
 DIM = 8
 FILLER = np.zeros((DIM, DIM, 3), np.float32)
@@ -117,3 +117,40 @@ def test_batch_one_is_passthrough():
 def test_invalid_batch_rejected():
     with pytest.raises(ValueError, match=">= 1"):
         DynamicBatcher(RecordingInfer(), batch=0, filler=FILLER)
+
+
+class BlockingInfer:
+    """Holds the device call open until the test releases it, so queue
+    depth is controllable deterministically."""
+
+    def __init__(self):
+        self.gate = threading.Event()
+        self.started = threading.Event()
+
+    def __call__(self, canvases):
+        self.started.set()
+        assert self.gate.wait(30)
+        return {"tag": canvases[:, 0, 0, 0].copy()}
+
+
+def test_backpressure_rejects_beyond_max_queue():
+    infer = BlockingInfer()
+    b = DynamicBatcher(infer, batch=1, filler=FILLER, window_ms=0,
+                       max_queue=1)
+    t_a = threading.Thread(target=lambda: b.submit(_canvas(1)))
+    t_a.start()
+    assert infer.started.wait(10)  # A is on the device, queue empty
+    t_b = threading.Thread(target=lambda: b.submit(_canvas(2)))
+    t_b.start()
+    deadline = time.monotonic() + 10
+    while b.stats()["queued"] < 1:  # B is waiting
+        assert time.monotonic() < deadline
+        time.sleep(0.01)
+    with pytest.raises(QueueFull, match="retry later"):
+        b.submit(_canvas(3))  # C: queue at capacity -> shed
+    assert b.stats()["rejected"] == 1
+    infer.gate.set()  # release the device; A then B complete
+    t_a.join(30)
+    t_b.join(30)
+    assert b.stats()["images"] == 2 and b.stats()["queued"] == 0
+    b.close()

@@ -25,6 +25,12 @@ from typing import Any, Callable, Dict, List
 import numpy as np
 
 
+class QueueFull(RuntimeError):
+    """Backpressure signal: the request queue is at capacity — the client
+    should retry later (HTTP 429/503 at the daemon layer) rather than
+    stack unbounded latency behind a saturated device."""
+
+
 class _Pending:
     __slots__ = ("canvas", "done", "result", "error", "fill")
 
@@ -51,13 +57,18 @@ class DynamicBatcher:
         batch: int,
         filler: np.ndarray,
         window_ms: float = 5.0,
+        max_queue: int = 0,
     ):
+        """``max_queue``: requests allowed to WAIT beyond the one being
+        assembled (0 = 8×batch). When the queue is at capacity ``submit``
+        raises :class:`QueueFull` instead of stacking latency."""
         if batch < 1:
             raise ValueError(f"batch must be >= 1, got {batch}")
         self._infer = infer
         self._batch = int(batch)
         self._filler = np.asarray(filler, np.float32)
         self._window = max(float(window_ms), 0.0) / 1e3
+        self._max_queue = int(max_queue) if max_queue else 8 * self._batch
         self._cv = threading.Condition()
         self._queue: List[_Pending] = []
         self._closed = False
@@ -65,6 +76,7 @@ class DynamicBatcher:
         self._batches = 0
         self._sum_fill = 0
         self._errors = 0
+        self._rejected = 0
         self._worker = threading.Thread(
             target=self._run, name="yolojax-batcher", daemon=True)
         self._worker.start()
@@ -79,6 +91,11 @@ class DynamicBatcher:
         with self._cv:
             if self._closed:
                 raise RuntimeError("batcher is closed")
+            if len(self._queue) >= self._max_queue:
+                self._rejected += 1
+                raise QueueFull(
+                    f"{len(self._queue)} requests already queued "
+                    f"(max_queue={self._max_queue}); retry later")
             self._queue.append(p)
             self._cv.notify_all()
         p.done.wait()
@@ -94,6 +111,7 @@ class DynamicBatcher:
                 "mean_fill": (self._sum_fill / self._batches
                               if self._batches else 0.0),
                 "errors": self._errors,
+                "rejected": self._rejected,
                 "queued": len(self._queue),
             }
 
