@@ -1054,3 +1054,44 @@ def test_36_export_tflite(workspace, monkeypatch, capsys, tmp_path):
     np.testing.assert_allclose(got["scores"][0][keep],
                                np.asarray(want["scores"][0][keep]),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_37_qat_fine_tune_cli(workspace, monkeypatch, capsys, tmp_path):
+    """QAT CLI (cli/qat.py): fold + calibrate + fake-quant fine-tune over
+    real loader batches, then the identity-BN .npz it writes must ride the
+    standard --weights path — int8 eval and detect both consume it with no
+    new loading code (the whole point of reembed_folded)."""
+    _ensure_prereqs(workspace, monkeypatch)
+    out_npz = str(tmp_path / "qat.npz")
+    _run("cli.qat", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", str(workspace / "logdir" / "yolo2_tiny"),
+        "--output", out_npz, "--steps", "4", "--lr", "1e-5",
+    ], monkeypatch)
+    assert os.path.exists(out_npz)
+
+    # standard npz structure: loads like any converted checkpoint
+    from yolojax.convert.store import load_params_npz
+
+    params, state = load_params_npz(out_npz)
+    assert any(k.startswith("conv_") for k in params)
+    assert state  # identity-BN running stats present
+
+    # int8 eval through the unchanged deploy machinery
+    _run("cli.eval", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", out_npz, "--phase", "test", "detect.use_int8=1",
+    ], monkeypatch)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["num_images"] == 8
+    assert 0.0 <= rec["map"] <= 1.0
+
+    # int8 detect on an image
+    img = str(workspace / "voc" / "JPEGImages" / "000000.jpg")
+    out_img = str(tmp_path / "qat_det.png")
+    _run("cli.detect", [
+        "-c", str(workspace / "test.ini"),
+        "--weights", out_npz, "--image", img, "--out", out_img,
+        "detect.threshold=0.0001", "detect.use_int8=1",
+    ], monkeypatch)
+    assert os.path.exists(out_img)

@@ -20,6 +20,7 @@ COMMANDS = {
     "eval": "eval",
     "export": "export",
     "parse-darknet": "parse_darknet",
+    "qat": "qat",
     "serve": "serve",
     "kmeans-anchors": "kmeans_anchors",
     "demo-augmentation": "demo_data_augmentation",
