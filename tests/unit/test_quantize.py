@@ -106,15 +106,19 @@ def test_calibration_percentile_clips_outliers(folded_darknet):
 
 
 def test_calibration_chunked_absmax_exact(folded_darknet):
-    """Multi-batch calibration (chunked forward) is exact for abs-max:
-    max-over-chunks == one-shot max."""
+    """Multi-batch calibration (chunked forward): the max-over-chunks
+    combining rule reproduces the one-shot abs-max. The jitted walk's
+    fusion choices depend on the batch size, so per-image activations
+    (bf16 compute) differ across chunkings by reduction-order noise —
+    the scales must agree within that envelope, the input scale (no
+    compute involved) exactly."""
     model, params, _ = folded_darknet
     rng = np.random.RandomState(4)
     calib = jnp.asarray(rng.uniform(0, 1, (5, 64, 64, 3)).astype(np.float32))
     one = calibrate(model, params, calib, chunk=16)
     split = calibrate(model, params, calib, chunk=2)
     np.testing.assert_allclose(one[0], split[0], rtol=1e-6)
-    np.testing.assert_allclose(one[1], split[1], rtol=1e-5)
+    np.testing.assert_allclose(one[1], split[1], rtol=2e-3)
 
 
 def test_calibration_all_black_stays_finite(folded_darknet):
