@@ -89,11 +89,15 @@ def main():
 
     batch_iter = batches()
 
+    qcfg = QatConfig(steps=args.steps, learning_rate=args.lr,
+                     grad_clip_norm=args.grad_clip,
+                     calib_batches=args.calib_batches)
+
     # activation calibration on real train images at the deploy dim, with
     # the same percentile knob the PTQ export uses — scales are frozen for
     # the fine-tune and re-derived identically at deployment
     calib_parts = []
-    for _ in range(max(args.calib_batches, 1)):
+    for _ in range(max(qcfg.calib_batches, 1)):
         imgs = jnp.asarray(next(batch_iter)[0], jnp.float32)
         if imgs.shape[1] != dim:
             imgs = jax.image.resize(
@@ -106,9 +110,6 @@ def main():
     log.info("calibrated on %d images (percentile %.4g)", calib.shape[0],
              cfg.detect.calib_percentile)
 
-    qcfg = QatConfig(steps=args.steps, learning_rate=args.lr,
-                     grad_clip_norm=args.grad_clip,
-                     calib_batches=args.calib_batches)
     tx = make_qat_optimizer(qcfg)
     step_fn = make_qat_step(
         folded_model, tx, in_scale, act_scales,
@@ -120,19 +121,22 @@ def main():
     rng = jax.random.PRNGKey(cfg.train.seed + 17)
 
     first = last = None
-    for step_i in range(args.steps):
+    for step_i in range(qcfg.steps):
         host_batch = next(batch_iter)
         batch = tuple(jnp.asarray(t) for t in host_batch)
         st, m = step_fn(st, batch, rng, dim=dim)
+        # finiteness is checked EVERY step (a short repair pass affords
+        # the per-step sync): a divergence between summary points must
+        # never reach the output npz as NaN weights
+        total = float(jax.device_get(m["total"]))
+        if not np.isfinite(total):
+            raise SystemExit(
+                f"non-finite QAT loss at step {step_i + 1}; lower --lr")
+        if first is None:
+            first = total
+        last = total
         if step_i == 0 or (step_i + 1) % cfg.train.summary_steps == 0:
-            total = float(jax.device_get(m["total"]))
-            if not np.isfinite(total):
-                raise SystemExit(
-                    f"non-finite QAT loss at step {step_i + 1}; lower --lr")
-            if first is None:
-                first = total
-            last = total
-            log.info("qat step %d/%d loss %.4f", step_i + 1, args.steps,
+            log.info("qat step %d/%d loss %.4f", step_i + 1, qcfg.steps,
                      total)
 
     re_params, re_state = reembed_folded(model,

@@ -22,6 +22,7 @@ weight scales, int32 MXU accumulation, int8 flatten passthrough.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -93,8 +94,34 @@ def calibrate(
     stacked range vector — serving startups previously paid ~2 eager
     dispatches + a blocking host pull PER LAYER, which over the axon
     tunnel made int8 calibration the dominant startup cost (~2.5 min for
-    tiny-v2@64 measured round 4; jitted: one compile + one pull).
+    tiny-v2@64 measured round 4; jitted: one compile + one pull). The
+    traced walk is cached per (specs, percentile, dtype) so repeated
+    calibrations in one process (QAT-vs-PTQ comparisons, weight-refresh
+    rebuilds) reuse the compiled executable instead of re-tracing.
     """
+    jitted = _ranges_fn(model.specs, float(percentile),
+                        jnp.dtype(compute_dtype).name)
+    n = images.shape[0]
+    per_chunk = np.stack([
+        np.asarray(jitted(params, images[s : s + chunk]))
+        for s in range(0, n, chunk)
+    ])
+    ranges = per_chunk.max(axis=0)
+    # clamp: an all-zero calibration range (all-black frames, or a low
+    # percentile over mostly-zero canvases) would otherwise divide by zero
+    # in apply_int8's requant and silently NaN every detection
+    input_scale = max(float(ranges[0]) / 127.0, 1e-8)
+    return input_scale, tuple(
+        max(float(r) / 127.0, 1e-8) for r in ranges[1:]
+    )
+
+
+@functools.lru_cache(maxsize=8)
+def _ranges_fn(specs: Tuple[Any, ...], percentile: float, dtype_name: str):
+    """Build (and cache) the jitted per-chunk range walk for a spec list.
+    specs tuples are hashable frozen dataclasses, so identical models hit
+    the cache across calibrate() calls; jit handles per-shape retraces."""
+    compute_dtype = jnp.dtype(dtype_name)
 
     def _ranges(p: Dict[str, Any], imgs: jax.Array) -> jax.Array:
         def _r(t: jax.Array) -> jax.Array:
@@ -106,7 +133,7 @@ def calibrate(
         x = imgs.astype(jnp.float32)
         ranges = [_r(x)]
         outputs: List[jax.Array] = []
-        for i, spec in enumerate(model.specs):
+        for i, spec in enumerate(specs):
             if isinstance(spec, ConvSpec):
                 layer = p[f"conv_{i}"]
                 k = layer["w"].shape[0]
@@ -151,20 +178,7 @@ def calibrate(
             ranges.append(_r(x))
         return jnp.stack(ranges)
 
-    jitted = jax.jit(_ranges)
-    n = images.shape[0]
-    per_chunk = np.stack([
-        np.asarray(jitted(params, images[s : s + chunk]))
-        for s in range(0, n, chunk)
-    ])
-    ranges = per_chunk.max(axis=0)
-    # clamp: an all-zero calibration range (all-black frames, or a low
-    # percentile over mostly-zero canvases) would otherwise divide by zero
-    # in apply_int8's requant and silently NaN every detection
-    input_scale = max(float(ranges[0]) / 127.0, 1e-8)
-    return input_scale, tuple(
-        max(float(r) / 127.0, 1e-8) for r in ranges[1:]
-    )
+    return jax.jit(_ranges)
 
 
 def quantize_model(

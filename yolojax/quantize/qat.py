@@ -194,47 +194,31 @@ def make_qat_step(
     :func:`yolojax.train.step.make_train_step` (canvas images + padded GT);
     augmentation reuses the on-device pipeline so the fine-tune sees the
     same input distribution training did."""
-    from yolojax.data.augment import AugmentConfig, augment_batch
-    from yolojax.train.losses import (
-        YoloV1LossConfig,
-        YoloV2LossConfig,
-        yolo_v1_loss,
-        yolo_v2_loss,
+    from yolojax.data.augment import AugmentConfig
+    from yolojax.train.step import (
+        default_loss_cfg,
+        make_head_loss,
+        prepare_images,
     )
 
     if loss_cfg is None:
-        loss_cfg = (
-            YoloV2LossConfig() if model.kind == "v2" else YoloV1LossConfig()
-        )
+        loss_cfg = default_loss_cfg(model)
     if aug_cfg is None:
         aug_cfg = AugmentConfig()
     act_scales = tuple(float(s) for s in act_scales)
     input_scale = float(input_scale)
-
-    def loss_from_head(head, gt_xywh, gt_class, gt_valid):
-        if model.kind == "v2":
-            return yolo_v2_loss(
-                head, model.anchors, gt_xywh, gt_class, gt_valid, loss_cfg
-            )
-        return yolo_v1_loss(
-            head, model.grid, model.boxes_per_cell, model.num_classes,
-            gt_xywh, gt_class, gt_valid, loss_cfg,
-        )
+    loss_from_head = make_head_loss(model, loss_cfg)
 
     @partial(jax.jit, static_argnames=("dim",), donate_argnums=(0,))
     def qat_step(st: QatState, batch, rng: jax.Array, dim: int):
         images, gt_xywh, gt_class, gt_valid = batch
         rng = jax.random.fold_in(rng, st.step)
         rng_aug, rng_drop = jax.random.split(rng)
-        images = images.astype(jnp.float32)
-        if augment:
-            images, gt_xywh, gt_valid = augment_batch(
-                rng_aug, images, gt_xywh, gt_valid, dim, aug_cfg
-            )
-        elif images.shape[1] != dim:
-            images = jax.image.resize(
-                images, (images.shape[0], dim, dim, 3), "linear"
-            )
+        # f32 throughout: fake-quant values are exact scale multiples
+        images, gt_xywh, gt_valid = prepare_images(
+            rng_aug, images.astype(jnp.float32), gt_xywh, gt_valid, dim,
+            aug_cfg, augment,
+        )
 
         def loss_fn(params):
             head = qat_forward(

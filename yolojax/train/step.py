@@ -192,6 +192,44 @@ def make_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     return out
 
 
+def default_loss_cfg(model: Model):
+    return YoloV2LossConfig() if model.kind == "v2" else YoloV1LossConfig()
+
+
+def make_head_loss(model: Model, loss_cfg):
+    """Head->loss-terms dispatch shared by the train step and the QAT
+    fine-tune step (yolojax/quantize/qat.py) so the v1/v2 objective wiring
+    lives in exactly one place."""
+
+    def loss_from_head(head, gt_xywh, gt_class, gt_valid):
+        if model.kind == "v2":
+            return yolo_v2_loss(
+                head, model.anchors, gt_xywh, gt_class, gt_valid, loss_cfg
+            )
+        return yolo_v1_loss(
+            head, model.grid, model.boxes_per_cell, model.num_classes,
+            gt_xywh, gt_class, gt_valid, loss_cfg,
+        )
+
+    return loss_from_head
+
+
+def prepare_images(rng_aug, images, gt_xywh, gt_valid, dim, aug_cfg,
+                   augment: bool):
+    """Augment-or-resize front shared by the train and QAT steps. Returns
+    (images, gt_xywh, gt_valid) at the step's static ``dim``; ``images``
+    should already carry the step's compute dtype (the resample/HSV ops
+    are bandwidth-bound and dtype-following)."""
+    if augment:
+        return augment_batch(rng_aug, images, gt_xywh, gt_valid, dim,
+                             aug_cfg)
+    if images.shape[1] != dim:
+        images = jax.image.resize(
+            images, (images.shape[0], dim, dim, 3), "linear"
+        )
+    return images, gt_xywh, gt_valid
+
+
 class TrainState(NamedTuple):
     step: jax.Array  # scalar int32
     params: Any
@@ -230,19 +268,8 @@ def make_train_step(
     for activation memory (lets batch/dim grow past HBM on big configs).
     """
     if loss_cfg is None:
-        loss_cfg = (
-            YoloV2LossConfig() if model.kind == "v2" else YoloV1LossConfig()
-        )
-
-    def loss_from_head(head, gt_xywh, gt_class, gt_valid):
-        if model.kind == "v2":
-            return yolo_v2_loss(
-                head, model.anchors, gt_xywh, gt_class, gt_valid, loss_cfg
-            )
-        return yolo_v1_loss(
-            head, model.grid, model.boxes_per_cell, model.num_classes,
-            gt_xywh, gt_class, gt_valid, loss_cfg,
-        )
+        loss_cfg = default_loss_cfg(model)
+    loss_from_head = make_head_loss(model, loss_cfg)
 
     @partial(jax.jit, static_argnames=("dim", "with_grads"),
              donate_argnums=(0,))
@@ -251,18 +278,12 @@ def make_train_step(
         images, gt_xywh, gt_class, gt_valid = batch
         rng = jax.random.fold_in(rng, ts.step)
         rng_aug, rng_drop = jax.random.split(rng)
-        # cast BEFORE augmentation: the resample/HSV ops at canvas
-        # resolution are bandwidth-bound and dtype-following — bf16 halves
-        # their traffic (box math stays f32 inside augment_batch)
-        images = images.astype(compute_dtype)
-        if augment:
-            images, gt_xywh, gt_valid = augment_batch(
-                rng_aug, images, gt_xywh, gt_valid, dim, aug_cfg
-            )
-        elif images.shape[1] != dim:
-            images = jax.image.resize(
-                images, (images.shape[0], dim, dim, 3), "linear"
-            )
+        # cast BEFORE augmentation: bf16 halves the resample/HSV traffic
+        # (box math stays f32 inside augment_batch)
+        images, gt_xywh, gt_valid = prepare_images(
+            rng_aug, images.astype(compute_dtype), gt_xywh, gt_valid, dim,
+            aug_cfg, augment,
+        )
 
         def forward(params, images):
             return model.apply(
