@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from yolojax.utils.cli import make_parser, setup  # noqa: E402
 
 
-def build_serving(cfg, weights_path, calib_canvases=None, portable=False):
+def build_serving(cfg, weights_path, calib_canvases=None, portable=False,
+                  mesh=None):
     """Build the serving stack without binding it to a call style: load
     weights, fold BN (+ optional stem fusion / int8 trunk), jit the graph.
     Returns (names, dim, infer_fn(params, bn_state, canvases), params,
@@ -32,6 +33,11 @@ def build_serving(cfg, weights_path, calib_canvases=None, portable=False):
     ``portable``: build a backend-independent graph (f32 compute, lax NMS,
     exact top-k, no Pallas stem) regardless of the ambient backend — for
     exports that must execute on plain CPU hosts (TF SavedModel).
+
+    ``mesh``: a local ``(data, model=1)`` mesh for data-parallel serving —
+    params / bn state / int8 constants are replicated over it so a
+    batch-sharded input runs each shard's forward+NMS on its own chip
+    (same GSPMD layout as the evaluator's DP path; no collectives).
     """
     import logging
 
@@ -78,6 +84,16 @@ def build_serving(cfg, weights_path, calib_canvases=None, portable=False):
             log.warning("int8 calibration falling back to synthetic inputs")
         qm = quantize_model(model, jax.device_get(params), calib,
                             percentile=cfg.detect.calib_percentile)
+    if mesh is not None:
+        import dataclasses as _dc
+
+        from yolojax.parallel.mesh import replicated
+
+        params = jax.device_put(params, replicated(mesh))
+        bn_state = jax.device_put(bn_state, replicated(mesh))
+        if qm is not None:
+            qm = _dc.replace(
+                qm, qparams=jax.device_put(qm.qparams, replicated(mesh)))
     if portable:
         use_pallas, candidates = "never", "exact"
         compute = jnp.float32
@@ -94,16 +110,56 @@ def build_serving(cfg, weights_path, calib_canvases=None, portable=False):
     return names, dim, infer_fn, params, bn_state
 
 
-def build_detector(cfg, weights_path, calib_canvases=None):
+def build_detector(cfg, weights_path, calib_canvases=None,
+                   data_parallel=False):
     """Load weights and jit the serving graph once. Returns
-    (names, dim, infer(canvases) -> host dict)."""
+    (names, dim, infer(canvases) -> host dict).
+
+    ``data_parallel``: shard the batch axis over every local device (the
+    serving answer to a multi-chip host, e.g. v5e-8: one compiled program,
+    each chip runs batch/N images' forward+decode+NMS independently —
+    embarrassingly parallel, throughput scales with local chips). The
+    caller's batch must be divisible by the local device count; params and
+    int8 constants are replicated over the local mesh."""
+    import logging
+
     import jax
+    import numpy as np
 
+    mesh = None
+    if data_parallel:
+        n_local = len(jax.local_devices())
+        if n_local > 1:
+            from yolojax.parallel.mesh import make_mesh
+
+            mesh = make_mesh(jax.local_devices(), data=n_local, model=1)
+            logging.getLogger("detect").info(
+                "detector: data-parallel over %d local devices", n_local)
+        else:
+            logging.getLogger("detect").warning(
+                "data_parallel requested but only 1 local device; "
+                "serving single-device")
     names, dim, infer_fn, params, bn_state = build_serving(
-        cfg, weights_path, calib_canvases)
+        cfg, weights_path, calib_canvases, mesh=mesh)
 
-    def infer(canvases):
-        return jax.device_get(infer_fn(params, bn_state, canvases))
+    if mesh is not None:
+        from yolojax.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh)
+        n_data = mesh.shape["data"]
+
+        def infer(canvases):
+            x = np.asarray(canvases)
+            if x.shape[0] % n_data:
+                raise ValueError(
+                    f"data-parallel serving needs batch % {n_data} == 0, "
+                    f"got batch {x.shape[0]}")
+            x = jax.device_put(x, sharding)
+            return jax.device_get(infer_fn(params, bn_state, x))
+    else:
+
+        def infer(canvases):
+            return jax.device_get(infer_fn(params, bn_state, canvases))
 
     return names, dim, infer
 
@@ -252,11 +308,12 @@ def _annotate(raw_rgb, dets):
 
 
 def run_detect(cfg, weights_path, image_paths, out_path=None, show=False,
-               detector=None):
+               detector=None, data_parallel=False):
     import logging
     import time
 
     import cv2
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -278,7 +335,9 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False,
                 canvas, _ = letterbox_host(_read_rgb(p), dim,
                                            stretch=cfg.detect.stretch)
                 calib.append(canvas)
-        names, dim, infer = build_detector(cfg, weights_path, calib)
+        data_parallel = data_parallel and len(image_paths) > 1
+        names, dim, infer = build_detector(cfg, weights_path, calib,
+                                           data_parallel=data_parallel)
 
         # Batched path: pad the image list up to a fixed batch so
         # many-image detects compile once and ride the chip's batched
@@ -286,6 +345,10 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False,
         batch = 1 if len(image_paths) == 1 else min(
             max(cfg.eval.batch_size, 1), 32
         )
+        if data_parallel and len(jax.local_devices()) > 1:
+            # DP shards the batch axis: round up to a full device multiple
+            n_local = len(jax.local_devices())
+            batch += (-batch) % n_local
     results = []
     for start in range(0, len(image_paths), batch):
         group = image_paths[start : start + batch]
@@ -429,10 +492,18 @@ def main():
     parser.add_argument("--out", default="", help="annotated output path/dir")
     parser.add_argument("--show", action="store_true",
                         help="display the annotated image")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard the detect batch over all local "
+                             "devices (multi-image mode on a multi-chip "
+                             "host)")
     args = parser.parse_args()
     cfg = setup(args)
     if args.stdin and (args.image or args.show):
         parser.error("--stdin is exclusive with --image/--show")
+    if args.data_parallel and (args.stdin or args.artifact):
+        parser.error("--data-parallel applies to batched --image mode "
+                     "with --weights (artifacts own their placement; "
+                     "--stdin serves one image at a time)")
     if bool(args.weights) == bool(args.artifact):
         parser.error("exactly one of --weights or --artifact is required")
     detector = None
@@ -443,7 +514,8 @@ def main():
         run_stream(cfg, args.weights, args.out or None, detector=detector)
     elif args.image:
         run_detect(cfg, args.weights, args.image, args.out or None,
-                   args.show, detector=detector)
+                   args.show, detector=detector,
+                   data_parallel=args.data_parallel)
     else:
         parser.error("one of --image or --stdin is required")
 

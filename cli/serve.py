@@ -65,13 +65,19 @@ def _load_calib(cfg, calib_dir):
 
 
 def build_server(cfg, host, port, weights="", artifact="", batch=0,
-                 window_ms=5.0, calib_dir="", max_queue=0):
+                 window_ms=5.0, calib_dir="", max_queue=0,
+                 data_parallel=False):
     """Build detector + batcher + HTTP server (not yet serving).
 
     Returns (httpd, batcher); ``httpd.serve_forever()`` runs it,
     ``httpd.server_address`` carries the bound port (port 0 = ephemeral).
     The compile happens HERE, on a warmup batch — a daemon must pay the
     jit cost before accepting traffic, not on the first request.
+
+    ``data_parallel``: shard each dispatched batch over all local devices
+    (a multi-chip host serves batch/N images per chip in one program —
+    throughput scales with chips, the window/fill semantics are unchanged).
+    The batch is rounded up to a device multiple.
     """
     import logging
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -88,6 +94,9 @@ def build_server(cfg, host, port, weights="", artifact="", batch=0,
 
     log = logging.getLogger("serve")
     if artifact:
+        if data_parallel:
+            raise SystemExit("--data-parallel needs --weights (an AOT "
+                             "artifact owns its device placement)")
         (names, dim, infer, art_batch), meta = load_artifact_detector(
             artifact)
         cfg = sync_artifact_cfg(cfg, meta)
@@ -99,8 +108,16 @@ def build_server(cfg, host, port, weights="", artifact="", batch=0,
     else:
         calib = _load_calib(cfg, calib_dir) if (
             calib_dir and cfg.detect.use_int8) else None
-        names, dim, infer = build_detector(cfg, weights, calib)
+        names, dim, infer = build_detector(cfg, weights, calib,
+                                           data_parallel=data_parallel)
         batch = batch or min(max(cfg.eval.batch_size, 1), 32)
+        if data_parallel:
+            n_local = len(jax.local_devices())
+            dp_batch = batch + (-batch) % n_local
+            if dp_batch != batch:
+                log.info("data-parallel: batch %d -> %d (%d local devices)",
+                         batch, dp_batch, n_local)
+            batch = dp_batch
 
     filler = np.full((dim, dim, 3), 0.5, np.float32)
     log.info("warmup: compiling the serving graph (batch %d, dim %d)",
@@ -117,6 +134,7 @@ def build_server(cfg, host, port, weights="", artifact="", batch=0,
             "batch": batch,
             "window_ms": window_ms,
             "backend": jax.default_backend(),
+            "devices": len(jax.local_devices()) if data_parallel else 1,
             "names": list(names),
             "stats": batcher.stats(),
         }
@@ -210,6 +228,10 @@ def main():
     parser.add_argument("--calib-dir", default="",
                         help="directory of real images for int8 activation "
                              "calibration (detect.use_int8=1)")
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="shard each batch over all local devices "
+                             "(multi-chip host throughput serving; batch "
+                             "is rounded up to a device multiple)")
     args = parser.parse_args()
     cfg = setup(args)
     if bool(args.weights) == bool(args.artifact):
@@ -223,7 +245,7 @@ def main():
         cfg, args.host, args.port, weights=args.weights,
         artifact=args.artifact, batch=args.batch,
         window_ms=args.window_ms, calib_dir=args.calib_dir,
-        max_queue=args.max_queue)
+        max_queue=args.max_queue, data_parallel=args.data_parallel)
 
     def _graceful(signum, frame):  # SIGTERM = orchestrated shutdown
         raise KeyboardInterrupt

@@ -126,6 +126,73 @@ def test_concurrent_requests_share_batches(server):
     assert stats["errors"] == 0
 
 
+def test_build_detector_data_parallel_matches_single(server):
+    """data_parallel=True shards the batch over every local device with
+    replicated params (no collectives): per-image outputs must match the
+    single-device graph, and a non-divisible batch fails loudly."""
+    from cli.detect import build_detector
+
+    n = len(jax.local_devices())
+    if n < 2:
+        pytest.skip("needs >1 local device")
+    names, dim, infer_dp = build_detector(server["cfg"], server["npz"],
+                                          data_parallel=True)
+    _, _, infer_1 = build_detector(server["cfg"], server["npz"])
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0.0, 1.0, (n, dim, dim, 3)).astype(np.float32)
+    a, b = infer_dp(x), infer_1(x)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k], np.float32),
+                                   np.asarray(b[k], np.float32), atol=1e-5)
+    with pytest.raises(ValueError, match="batch %"):
+        infer_dp(x[: n - 1])
+
+
+def test_data_parallel_server_matches_single_device(server):
+    """A --data-parallel daemon on the 8-device CPU mesh: batch rounds up
+    to a device multiple, health reports the device count, and answers
+    equal the single-device server's for the same images."""
+    from cli.serve import build_server
+
+    n = len(jax.local_devices())
+    if n < 2:
+        pytest.skip("needs >1 local device")
+    httpd, batcher = build_server(server["cfg"], "127.0.0.1", 0,
+                                  weights=server["npz"], batch=4,
+                                  window_ms=50, data_parallel=True)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, health = _get(base + "/healthz")
+        assert status == 200 and health["devices"] == n
+        assert health["batch"] % n == 0 and health["batch"] >= 4
+        for blob in server["blobs"][:3]:
+            s_dp, b_dp = _post(base + "/detect", blob)
+            s_1, b_1 = _post(server["base"] + "/detect", blob)
+            assert s_dp == s_1 == 200
+            got, want = b_dp["detections"], b_1["detections"]
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert g["name"] == w["name"] and g["class"] == w["class"]
+                assert g["score"] == pytest.approx(w["score"], abs=1e-4)
+                assert g["box"] == pytest.approx(w["box"], abs=0.05)
+        assert batcher.stats()["errors"] == 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
+def test_data_parallel_rejects_artifact(server):
+    from cli.serve import build_server
+
+    with pytest.raises(SystemExit, match="data-parallel"):
+        build_server(server["cfg"], "127.0.0.1", 0,
+                     artifact="whatever.yjsa", data_parallel=True)
+
+
 def test_int8_server_with_calib_dir(server, tmp_path):
     """int8 daemon: --calib-dir supplies real calibration images at
     startup (a daemon has no 'first N requests' to calibrate on); the
