@@ -56,6 +56,8 @@ def main():
                         help="distinct images the clients cycle over")
     parser.add_argument("--dim-src", type=int, default=416,
                         help="source image size clients upload")
+    parser.add_argument("--pipeline-depth", type=int, default=1,
+                        help="batches in flight at once (see cli/serve.py)")
     args = parser.parse_args()
     cfg = setup(args)
 
@@ -63,7 +65,7 @@ def main():
 
     httpd, batcher = build_server(
         cfg, "127.0.0.1", 0, weights=args.weights, batch=args.batch,
-        window_ms=args.window_ms)
+        window_ms=args.window_ms, pipeline_depth=args.pipeline_depth)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
     blobs = _encode_images(args.distinct, args.dim_src, args.dim_src)
@@ -120,6 +122,7 @@ def main():
         "p50_ms": round(lats[len(lats) // 2], 1),
         "p99_ms": round(lats[int(len(lats) * 0.99)], 1),
         "mean_fill": round(images / batches, 2) if batches else None,
+        "pipeline_depth": args.pipeline_depth,
         "errors": stats1["errors"],
         "backend": __import__("jax").default_backend(),
     }))

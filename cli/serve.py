@@ -66,7 +66,7 @@ def _load_calib(cfg, calib_dir):
 
 def build_server(cfg, host, port, weights="", artifact="", batch=0,
                  window_ms=5.0, calib_dir="", max_queue=0,
-                 data_parallel=False):
+                 data_parallel=False, pipeline_depth=1):
     """Build detector + batcher + HTTP server (not yet serving).
 
     Returns (httpd, batcher); ``httpd.serve_forever()`` runs it,
@@ -124,7 +124,8 @@ def build_server(cfg, host, port, weights="", artifact="", batch=0,
              batch, dim)
     infer(np.stack([filler] * batch))
     batcher = DynamicBatcher(infer, batch, filler, window_ms=window_ms,
-                             max_queue=max_queue)
+                             max_queue=max_queue,
+                             pipeline_depth=pipeline_depth)
     stretch = cfg.detect.stretch
 
     def health():
@@ -135,6 +136,7 @@ def build_server(cfg, host, port, weights="", artifact="", batch=0,
             "window_ms": window_ms,
             "backend": jax.default_backend(),
             "devices": len(jax.local_devices()) if data_parallel else 1,
+            "pipeline_depth": pipeline_depth,
             "names": list(names),
             "stats": batcher.stats(),
         }
@@ -232,6 +234,10 @@ def main():
                         help="shard each batch over all local devices "
                              "(multi-chip host throughput serving; batch "
                              "is rounded up to a device multiple)")
+    parser.add_argument("--pipeline-depth", type=int, default=1,
+                        help="batches allowed in flight at once (2 "
+                             "overlaps host result scatter with device "
+                             "compute of the next batch; 1 = serialize)")
     args = parser.parse_args()
     cfg = setup(args)
     if bool(args.weights) == bool(args.artifact):
@@ -245,7 +251,8 @@ def main():
         cfg, args.host, args.port, weights=args.weights,
         artifact=args.artifact, batch=args.batch,
         window_ms=args.window_ms, calib_dir=args.calib_dir,
-        max_queue=args.max_queue, data_parallel=args.data_parallel)
+        max_queue=args.max_queue, data_parallel=args.data_parallel,
+        pipeline_depth=args.pipeline_depth)
 
     def _graceful(signum, frame):  # SIGTERM = orchestrated shutdown
         raise KeyboardInterrupt

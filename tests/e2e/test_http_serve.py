@@ -185,6 +185,39 @@ def test_data_parallel_server_matches_single_device(server):
         batcher.close()
 
 
+def test_pipelined_server_matches_single_inflight(server):
+    """--pipeline-depth 2: concurrent bursts still return correct
+    per-request answers (batches may complete out of order) and match
+    the depth-1 server's detections."""
+    from cli.serve import build_server
+
+    httpd, batcher = build_server(server["cfg"], "127.0.0.1", 0,
+                                  weights=server["npz"], batch=2,
+                                  window_ms=20, pipeline_depth=2)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, health = _get(base + "/healthz")
+        assert status == 200 and health["pipeline_depth"] == 2
+        with concurrent.futures.ThreadPoolExecutor(5) as pool:
+            results = list(pool.map(
+                lambda b: _post(base + "/detect", b), server["blobs"]))
+        assert all(s == 200 for s, _ in results)
+        for (s_p, b_p), blob in zip(results, server["blobs"]):
+            _, b_1 = _post(server["base"] + "/detect", blob)
+            got, want = b_p["detections"], b_1["detections"]
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert g["name"] == w["name"]
+                assert g["score"] == pytest.approx(w["score"], abs=1e-4)
+        assert batcher.stats()["errors"] == 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+
+
 def test_data_parallel_rejects_artifact(server):
     from cli.serve import build_server
 

@@ -133,6 +133,98 @@ class BlockingInfer:
         return {"tag": canvases[:, 0, 0, 0].copy()}
 
 
+class OverlapInfer:
+    """Proves two dispatches are in flight AT THE SAME TIME: the first
+    call blocks until the second arrives (bounded wait so a broken
+    pipeline fails the assertion instead of deadlocking)."""
+
+    def __init__(self, want=2):
+        self.want = want
+        self.inflight = 0
+        self.max_inflight = 0
+        self.lock = threading.Lock()
+        self.reached = threading.Event()
+
+    def __call__(self, canvases):
+        with self.lock:
+            self.inflight += 1
+            self.max_inflight = max(self.max_inflight, self.inflight)
+            if self.inflight >= self.want:
+                self.reached.set()
+        self.reached.wait(5)
+        with self.lock:
+            self.inflight -= 1
+        return {"tag": canvases[:, 0, 0, 0].copy()}
+
+
+def test_pipeline_depth_overlaps_dispatches():
+    infer = OverlapInfer(want=2)
+    b = DynamicBatcher(infer, batch=1, filler=FILLER, window_ms=0,
+                       pipeline_depth=2)
+    results, errors = _submit_concurrently(b, [1, 2])
+    assert not errors
+    assert infer.max_inflight == 2, "depth=2 must run 2 batches at once"
+    for v, (res, fill) in results.items():
+        assert res["tag"] == pytest.approx(float(v)) and fill == 1
+    b.close()
+
+
+def test_pipeline_depth_bounds_inflight_and_routes_results():
+    infer = OverlapInfer(want=2)
+    b = DynamicBatcher(infer, batch=1, filler=FILLER, window_ms=0,
+                       pipeline_depth=2)
+    results, errors = _submit_concurrently(b, [1, 2, 3, 4, 5, 6])
+    assert not errors and len(results) == 6
+    assert infer.max_inflight == 2, "semaphore must cap in-flight at depth"
+    for v, (res, _) in results.items():
+        assert res["tag"] == pytest.approx(float(v))
+    s = b.stats()
+    assert s["images"] == 6 and s["errors"] == 0
+    b.close()
+
+
+def test_pipeline_close_drains_inflight():
+    infer = RecordingInfer()
+    b = DynamicBatcher(infer, batch=2, filler=FILLER, window_ms=20,
+                       pipeline_depth=3)
+    results, errors = _submit_concurrently(b, [1, 2, 3, 4, 5])
+    b.close()
+    assert not errors and len(results) == 5
+    assert b.stats()["images"] == 5
+
+
+def test_pipeline_error_isolated_per_batch():
+    """A failing batch must only poison its own submitters, also under
+    pipelining."""
+
+    class FlakyInfer:
+        def __init__(self):
+            self.lock = threading.Lock()
+
+        def __call__(self, canvases):
+            if float(canvases[0, 0, 0, 0]) == 13.0:
+                raise ValueError("device exploded")
+            return {"tag": canvases[:, 0, 0, 0].copy()}
+
+    b = DynamicBatcher(FlakyInfer(), batch=1, filler=FILLER, window_ms=0,
+                       pipeline_depth=2)
+    # serialize submissions so the poison value sits alone in its batch
+    ok1 = b.submit(_canvas(1))
+    with pytest.raises(ValueError, match="device exploded"):
+        b.submit(_canvas(13))
+    ok2 = b.submit(_canvas(2))
+    assert ok1[0]["tag"] == pytest.approx(1.0)
+    assert ok2[0]["tag"] == pytest.approx(2.0)
+    assert b.stats()["errors"] == 1
+    b.close()
+
+
+def test_invalid_pipeline_depth_rejected():
+    with pytest.raises(ValueError, match="pipeline_depth"):
+        DynamicBatcher(RecordingInfer(), batch=1, filler=FILLER,
+                       pipeline_depth=0)
+
+
 def test_backpressure_rejects_beyond_max_queue():
     infer = BlockingInfer()
     b = DynamicBatcher(infer, batch=1, filler=FILLER, window_ms=0,

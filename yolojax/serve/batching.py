@@ -58,12 +58,25 @@ class DynamicBatcher:
         filler: np.ndarray,
         window_ms: float = 5.0,
         max_queue: int = 0,
+        pipeline_depth: int = 1,
     ):
         """``max_queue``: requests allowed to WAIT beyond the one being
         assembled (0 = 8×batch). When the queue is at capacity ``submit``
-        raises :class:`QueueFull` instead of stacking latency."""
+        raises :class:`QueueFull` instead of stacking latency.
+
+        ``pipeline_depth``: dispatches allowed in flight at once. At the
+        default 1 the worker serializes batches end-to-end (assemble →
+        device → host pull → scatter). At depth D, up to D batches overlap:
+        while batch N's results transfer back and scatter on the host,
+        batch N+1 is already queued on the device — the chip never idles
+        behind host-side work. JAX dispatch is thread-safe; batches may
+        complete out of order, which is fine because every request carries
+        its own completion event."""
         if batch < 1:
             raise ValueError(f"batch must be >= 1, got {batch}")
+        if pipeline_depth < 1:
+            raise ValueError(
+                f"pipeline_depth must be >= 1, got {pipeline_depth}")
         self._infer = infer
         self._batch = int(batch)
         self._filler = np.asarray(filler, np.float32)
@@ -77,6 +90,19 @@ class DynamicBatcher:
         self._sum_fill = 0
         self._errors = 0
         self._rejected = 0
+        self._depth = int(pipeline_depth)
+        self._pool = None
+        self._inflight = None
+        if self._depth > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # the semaphore (not the executor queue) bounds in-flight
+            # batches: the worker blocks on acquire instead of piling
+            # unbounded dispatches behind a slow device
+            self._pool = ThreadPoolExecutor(
+                max_workers=self._depth,
+                thread_name_prefix="yolojax-dispatch")
+            self._inflight = threading.Semaphore(self._depth)
         self._worker = threading.Thread(
             target=self._run, name="yolojax-batcher", daemon=True)
         self._worker.start()
@@ -117,11 +143,13 @@ class DynamicBatcher:
 
     def close(self, timeout: float = 30.0) -> None:
         """Stop accepting work, drain whatever is queued, join the
-        worker. Idempotent."""
+        worker (and any in-flight pipelined dispatches). Idempotent."""
         with self._cv:
             self._closed = True
             self._cv.notify_all()
         self._worker.join(timeout)
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
 
     # -- worker ------------------------------------------------------
 
@@ -142,7 +170,17 @@ class DynamicBatcher:
                     self._cv.wait(remaining)
                 group = self._queue[: self._batch]
                 del self._queue[: self._batch]
+            if self._pool is None:
+                self._dispatch(group)
+            else:
+                self._inflight.acquire()
+                self._pool.submit(self._dispatch_release, group)
+
+    def _dispatch_release(self, group: List[_Pending]):
+        try:
             self._dispatch(group)
+        finally:
+            self._inflight.release()
 
     def _dispatch(self, group: List[_Pending]):
         fill = len(group)
