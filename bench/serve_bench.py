@@ -58,6 +58,13 @@ def main():
                         help="source image size clients upload")
     parser.add_argument("--pipeline-depth", type=int, default=1,
                         help="batches in flight at once (see cli/serve.py)")
+    parser.add_argument("--direct", action="store_true",
+                        help="skip HTTP + JPEG decode: clients submit "
+                             "pre-letterboxed canvases straight to the "
+                             "DynamicBatcher — measures batching + "
+                             "(pipelined) dispatch against the device "
+                             "envelope, which a 1-vCPU host's decode "
+                             "bottleneck would otherwise mask")
     args = parser.parse_args()
     cfg = setup(args)
 
@@ -66,6 +73,8 @@ def main():
     httpd, batcher = build_server(
         cfg, "127.0.0.1", 0, weights=args.weights, batch=args.batch,
         window_ms=args.window_ms, pipeline_depth=args.pipeline_depth)
+    if args.direct:
+        return direct_bench(args, batcher, cfg, httpd)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     base = f"http://127.0.0.1:{httpd.server_address[1]}"
     blobs = _encode_images(args.distinct, args.dim_src, args.dim_src)
@@ -127,6 +136,72 @@ def main():
         "backend": __import__("jax").default_backend(),
     }))
     httpd.shutdown()
+    httpd.server_close()
+    batcher.close()
+
+
+def direct_bench(args, batcher, cfg, httpd):
+    """Clients submit distinct float canvases straight to the batcher.
+    Reports steady img/s (the daemon's dispatch envelope), fill, and the
+    per-request latency distribution — the knob-tuning surface for
+    --pipeline-depth / --window-ms / --batch (docs/TUNING.md)."""
+    import numpy as np
+
+    dim = cfg.model.dim
+    rng = np.random.default_rng(5)
+    canvases = [rng.uniform(0, 1, (dim, dim, 3)).astype(np.float32)
+                for _ in range(args.distinct)]
+
+    def submit(k):
+        t0 = time.perf_counter()
+        batcher.submit(canvases[k % len(canvases)])
+        return (time.perf_counter() - t0) * 1e3
+
+    for i in range(2 * args.batch):  # warmup
+        submit(i)
+    stats0 = batcher.stats()
+    lats = []
+    lock = threading.Lock()
+    counter = iter(range(args.requests))
+
+    def client(cid):
+        k = cid
+        while True:
+            with lock:
+                n = next(counter, None)
+            if n is None:
+                return
+            dt = submit(k)
+            k += args.clients
+            with lock:
+                lats.append(dt)
+
+    t0 = time.perf_counter()
+    threads = [threading.Thread(target=client, args=(c,))
+               for c in range(args.clients)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    stats1 = batcher.stats()
+    lats.sort()
+    batches = stats1["batches"] - stats0["batches"]
+    images = stats1["images"] - stats0["images"]
+    print(json.dumps({
+        "metric": "serve_direct_images_per_sec",
+        "value": round(len(lats) / wall, 1),
+        "unit": "img/s",
+        "batch": args.batch,
+        "window_ms": args.window_ms,
+        "clients": args.clients,
+        "p50_ms": round(lats[len(lats) // 2], 1),
+        "p99_ms": round(lats[int(len(lats) * 0.99)], 1),
+        "mean_fill": round(images / batches, 2) if batches else None,
+        "pipeline_depth": args.pipeline_depth,
+        "errors": stats1["errors"],
+        "backend": __import__("jax").default_backend(),
+    }))
     httpd.server_close()
     batcher.close()
 

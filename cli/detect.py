@@ -83,7 +83,8 @@ def build_serving(cfg, weights_path, calib_canvases=None, portable=False,
                                        (8, dim, dim, 3), jnp.float32)
             log.warning("int8 calibration falling back to synthetic inputs")
         qm = quantize_model(model, jax.device_get(params), calib,
-                            percentile=cfg.detect.calib_percentile)
+                            percentile=cfg.detect.calib_percentile,
+                            bits=cfg.detect.quant_bits)
     if mesh is not None:
         import dataclasses as _dc
 
@@ -314,7 +315,6 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False,
 
     import cv2
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from yolojax.data.augment import letterbox_host
@@ -362,7 +362,11 @@ def run_detect(cfg, weights_path, image_paths, out_path=None, show=False,
         while len(canvases) < batch:  # pad to the compiled batch size
             canvases.append(np.full((dim, dim, 3), 0.5, np.float32))
         t0 = time.perf_counter()
-        out = infer(jnp.asarray(np.stack(canvases)))
+        # pass the host stack directly: jit device_puts it once in the
+        # single-device path, and the DP wrapper shards it with a single
+        # device_put — a jnp.asarray here would add a wasted H2D (and a
+        # D2H back out in the DP wrapper) per batch
+        out = infer(np.stack(canvases))
         dt = time.perf_counter() - t0
         for k, image_path in enumerate(group):
             dets = _extract(out, k, tfs[k], raws[k].shape, names)

@@ -137,6 +137,7 @@ def main():
                 int8=cfg.detect.use_int8,
                 calib_images=cfg.detect.calib_images,
                 calib_percentile=cfg.detect.calib_percentile,
+                quant_bits=cfg.detect.quant_bits,
                 data_parallel=cfg.eval.data_parallel_flag(),
                 distributed=eval_dist,
                 class_names=names,

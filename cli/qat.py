@@ -37,6 +37,11 @@ def main():
     parser.add_argument("--calib-batches", type=int, default=1,
                         help="loader batches for activation calibration "
                              "(detect.calib_percentile applies)")
+    parser.add_argument("--bits", type=int, default=0,
+                        help="quant code width to fine-tune under "
+                             "(default: detect.quant_bits; <8 coarsens "
+                             "the grid — deploy with the same "
+                             "detect.quant_bits)")
     parser.add_argument("--no-augment", action="store_true",
                         help="fine-tune on plain resized canvases instead "
                              "of the augmentation pipeline")
@@ -104,17 +109,21 @@ def main():
                 imgs, (imgs.shape[0], dim, dim, 3), "linear")
         calib_parts.append(imgs)
     calib = jnp.concatenate(calib_parts)
+    bits = args.bits or cfg.detect.quant_bits
+    if not 2 <= bits <= 8:
+        raise SystemExit(f"--bits must be in [2, 8], got {bits}")
+    qmax = 2 ** (bits - 1) - 1
     in_scale, act_scales = calibrate(
         folded_model, folded_params, calib,
-        percentile=cfg.detect.calib_percentile)
-    log.info("calibrated on %d images (percentile %.4g)", calib.shape[0],
-             cfg.detect.calib_percentile)
+        percentile=cfg.detect.calib_percentile, qmax=qmax)
+    log.info("calibrated on %d images (percentile %.4g, %d-bit grid)",
+             calib.shape[0], cfg.detect.calib_percentile, bits)
 
     tx = make_qat_optimizer(qcfg)
     step_fn = make_qat_step(
         folded_model, tx, in_scale, act_scales,
         loss_cfg=cfg.loss_config(), aug_cfg=cfg.augment,
-        augment=not args.no_augment,
+        augment=not args.no_augment, qmax=qmax,
     )
     st = QatState(jnp.zeros((), jnp.int32), folded_params,
                   tx.init(folded_params))

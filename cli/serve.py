@@ -226,7 +226,10 @@ def main():
     parser.add_argument("--max-queue", type=int, default=0,
                         help="requests allowed to wait beyond the batch "
                              "being assembled before new ones get 429 "
-                             "(0 = 8x batch)")
+                             "(0 = 8x batch); with --pipeline-depth D "
+                             "another D*batch can be in flight on the "
+                             "device, so total in-system requests are "
+                             "bounded by max-queue + D*batch")
     parser.add_argument("--calib-dir", default="",
                         help="directory of real images for int8 activation "
                              "calibration (detect.use_int8=1)")

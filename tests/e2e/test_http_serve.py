@@ -353,3 +353,65 @@ def test_error_paths(server):
     # stats endpoint still alive after errors
     status, stats = _get(base + "/stats")
     assert status == 200 and stats["images"] >= 1
+
+
+def test_data_parallel_with_pipeline_depth(server):
+    """--data-parallel x --pipeline-depth 2 composed (the v5e-8 production
+    shape, VERDICT r4 weak #5): concurrent in-flight dispatches each doing
+    a device_put to the sharded layout must return per-image answers equal
+    to the single-device server's, then shut down cleanly with work still
+    arriving."""
+    from cli.serve import build_server
+
+    n = len(jax.local_devices())
+    if n < 2:
+        pytest.skip("needs >1 local device")
+    httpd, batcher = build_server(server["cfg"], "127.0.0.1", 0,
+                                  weights=server["npz"], batch=4,
+                                  window_ms=20, data_parallel=True,
+                                  pipeline_depth=2)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, health = _get(base + "/healthz")
+        assert status == 200
+        assert health["devices"] == n and health["pipeline_depth"] == 2
+        assert health["batch"] % n == 0
+        # enough concurrent clients to keep 2 sharded batches in flight
+        bodies = server["blobs"] * 4  # 20 requests over 5 distinct images
+        with concurrent.futures.ThreadPoolExecutor(10) as pool:
+            results = list(pool.map(
+                lambda b: _post(base + "/detect", b), bodies))
+        assert all(s == 200 for s, _ in results)
+        stats = batcher.stats()
+        assert stats["errors"] == 0 and stats["images"] == len(bodies)
+        # per-image equality vs the plain single-device daemon
+        for (s_dp, b_dp), blob in zip(results[: len(server["blobs"])],
+                                      server["blobs"]):
+            _, b_1 = _post(server["base"] + "/detect", blob)
+            got, want = b_dp["detections"], b_1["detections"]
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert g["name"] == w["name"] and g["class"] == w["class"]
+                assert g["score"] == pytest.approx(w["score"], abs=1e-4)
+                assert g["box"] == pytest.approx(w["box"], abs=0.05)
+    finally:
+        # shutdown while a late burst is still arriving: no hangs, no
+        # submitter left blocked (the round-5 close-race fix)
+        late = threading.Thread(
+            target=lambda: [_post_quiet(base + "/detect", b)
+                            for b in server["blobs"]])
+        late.start()
+        httpd.shutdown()
+        httpd.server_close()
+        batcher.close()
+        late.join(30)
+        assert not late.is_alive(), "late submitters hung through shutdown"
+
+
+def _post_quiet(url, body):
+    try:
+        return _post(url, body)
+    except Exception:
+        return None  # refused/late requests are fine; hanging is not

@@ -246,3 +246,46 @@ def test_backpressure_rejects_beyond_max_queue():
     t_b.join(30)
     assert b.stats()["images"] == 2 and b.stats()["queued"] == 0
     b.close()
+
+
+def test_close_race_fails_undispatched_group_instead_of_hanging():
+    """If a wedged in-flight dispatch outlives close()'s join timeout, the
+    worker can wake up after the pool is shut down; its next submit must
+    fail the undispatched group explicitly (error + done set) rather than
+    leave those submitters blocked forever on done.wait()."""
+    infer = BlockingInfer()
+    b = DynamicBatcher(infer, batch=1, filler=FILLER, window_ms=0,
+                       pipeline_depth=2, max_queue=8)
+    outcomes = {}
+
+    def go(v):
+        try:
+            outcomes[v] = ("ok", b.submit(_canvas(v)))
+        except Exception as e:  # noqa: BLE001 — recorded for assertions
+            outcomes[v] = ("err", e)
+
+    threads = [threading.Thread(target=go, args=(v,)) for v in (1, 2, 3)]
+    for t in threads:
+        t.start()
+    # both in-flight slots fill with gate-blocked dispatches; the third
+    # group leaves the worker blocked on the in-flight semaphore
+    assert infer.started.wait(10)
+    deadline = time.monotonic() + 10
+    while b.stats()["batches"] < 1 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    # close with a join timeout shorter than the wedge: worker outlives it
+    closer = threading.Thread(target=lambda: b.close(timeout=0.2))
+    closer.start()
+    time.sleep(0.5)  # close() is now inside pool.shutdown(wait=True)
+    infer.gate.set()  # un-wedge the device; in-flight batches complete
+    closer.join(30)
+    for t in threads:
+        t.join(30)
+        assert not t.is_alive(), "a submitter hung after close()"
+    errs = [v for v, (kind, _) in outcomes.items() if kind == "err"]
+    oks = [v for v, (kind, _) in outcomes.items() if kind == "ok"]
+    # the wedged-but-dispatched groups complete; any group the worker
+    # popped after shutdown gets an explicit error, never a hang
+    assert len(oks) + len(errs) == 3
+    for v in errs:
+        assert "closed" in str(outcomes[v][1])

@@ -202,3 +202,80 @@ def test_reembed_roundtrips_through_fold():
                             compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_low_bit_grid_codes_and_graph_agreement(folded_darknet):
+    """detect.quant_bits < 8: codes must stay within ±(2^(b-1)-1), the
+    grid must be measurably coarser than int8, and the fake-quant
+    training graph must track the deployed low-bit graph (what
+    cli/qat.py --bits fine-tunes under)."""
+    model, params, _ = folded_darknet
+    rng = np.random.RandomState(3)
+    calib = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    qm4 = quantize_model(model, params, calib, bits=4)
+    assert qm4.qmax == 7
+    for name, lp in qm4.qparams.items():
+        if "w_q" in lp:
+            assert np.abs(lp["w_q"]).max() <= 7
+    qm8 = quantize_model(model, params, calib)
+    assert qm8.qmax == 127
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    out4 = np.asarray(apply_int8(qm4, x)).ravel()
+    out8 = np.asarray(apply_int8(qm8, x)).ravel()
+    # the 4-bit head output must differ materially from int8 (real error)
+    assert np.abs(out4 - out8).mean() > 1e-3
+    sim = np.asarray(qat_forward(
+        model, params, x, qm4.input_scale, qm4.act_scales,
+        qmax=qm4.qmax)).ravel()
+    cos = float(np.dot(sim, out4)
+                / (np.linalg.norm(sim) * np.linalg.norm(out4)))
+    assert cos > 0.99, cos
+
+
+def test_quantize_model_rejects_bad_bits():
+    model = get_model("yolo2", "tiny", num_classes=2)
+    params, state = model.init(jax.random.PRNGKey(0), 32)
+    model, params, _ = fold_bn(model, params, state)
+    x = jnp.zeros((1, 32, 32, 3))
+    with pytest.raises(ValueError, match="bits"):
+        quantize_model(model, params, x, bits=9)
+    with pytest.raises(ValueError, match="bits"):
+        quantize_model(model, params, x, bits=1)
+
+
+def test_low_bit_qat_repairs_ptq_regression():
+    """The repair claim at the grid where PTQ genuinely hurts: at 4 bits
+    the PTQ output error vs f32 is large; fine-tuning under the 4-bit
+    fake-quant graph must recover a substantial fraction of it (the
+    mAP-level version is gated in tests/e2e/test_real_backbone_quality.py)."""
+    model = get_model("yolo2", "tiny", num_classes=2)
+    params, state = model.init(jax.random.PRNGKey(9), 32)
+    model, params, _ = fold_bn(model, params, state)
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)).astype(np.float32))
+    target, _ = model.apply(params, {}, x, compute_dtype=jnp.float32)
+    in_scale, act_scales = calibrate(model, params, x, qmax=7)
+
+    def int8_err(p):
+        qm = quantize_model(model, jax.device_get(p), x, bits=4)
+        return float(jnp.mean((apply_int8(qm, x) - target) ** 2))
+
+    err_ptq = int8_err(params)
+    tx = optax.adam(3e-4)
+
+    @jax.jit
+    def step(p, opt):
+        def loss_fn(q):
+            out = qat_forward(model, q, x, in_scale, act_scales, qmax=7.0)
+            return jnp.mean((out - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, opt = tx.update(grads, opt, p)
+        return optax.apply_updates(p, updates), opt, loss
+
+    p, opt = params, tx.init(params)
+    for _ in range(80):
+        p, opt, _ = step(p, opt)
+    err_qat = int8_err(p)
+    # recovers at least 30% of the 4-bit PTQ error on this objective
+    assert err_qat < 0.7 * err_ptq, (err_qat, err_ptq)

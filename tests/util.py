@@ -150,3 +150,62 @@ def write_learnable_voc(root, n_images=32, size=96, seed=0,
                            image_set + ".txt"), "w") as f:
         f.write("\n".join(ids) + "\n")
     return ids
+
+
+def write_learnable_coco(root, names_all, n_images=32, size=96, seed=0,
+                         n_present=4):
+    """COCO layout (images/ + instances.json) with a LEARNABLE signal AND
+    a full-width category list: gray images, one solid colored rectangle
+    each, class <-> color over ``n_present`` classes spread across
+    ``names_all`` (pass the 80 COCO names for the BASELINE config-5 head
+    shape: the cacher emits every category, so the model head carries all
+    len(names_all) classes while the training signal stays overfittable).
+    Category ids are sparse/1-based like real COCO. Returns
+    (ann_json_path, image_dir)."""
+    import json
+
+    import cv2
+
+    img_dir = os.path.join(root, "images")
+    os.makedirs(img_dir, exist_ok=True)
+    palette = [(230, 30, 30), (30, 30, 230), (30, 200, 30), (220, 200, 30),
+               (200, 30, 200), (30, 200, 200), (240, 130, 20), (120, 70, 20)]
+    assert n_present <= len(palette), "distinct colors cap n_present"
+    # spread the present classes across the category list so the head's
+    # class axis is exercised at both ends, not just indices 0..n
+    stride = max(len(names_all) // n_present, 1)
+    present = [min(k * stride, len(names_all) - 1) for k in range(n_present)]
+    rng = np.random.RandomState(seed)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n_images):
+        fname = f"{i:06d}.jpg"
+        img = np.full((size, size, 3), 128, np.uint8)
+        k = i % n_present
+        bw = rng.randint(int(0.3 * size), int(0.55 * size))
+        bh = rng.randint(int(0.3 * size), int(0.55 * size))
+        x0 = rng.randint(2, size - bw - 2)
+        y0 = rng.randint(2, size - bh - 2)
+        r, g, b = palette[k]
+        img[y0:y0 + bh, x0:x0 + bw] = (b, g, r)  # cv2 writes BGR
+        cv2.imwrite(os.path.join(img_dir, fname), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 95])
+        images.append({"id": i + 1, "file_name": fname,
+                       "width": size, "height": size})
+        annotations.append({
+            "id": ann_id, "image_id": i + 1,
+            "category_id": present[k] + 1,
+            "bbox": [int(x0), int(y0), int(bw), int(bh)],
+            "iscrowd": 0,
+        })
+        ann_id += 1
+    ann = {
+        "images": images,
+        "categories": [{"id": c + 1, "name": n}
+                       for c, n in enumerate(names_all)],
+        "annotations": annotations,
+    }
+    ann_path = os.path.join(root, "instances.json")
+    with open(ann_path, "w") as f:
+        json.dump(ann, f)
+    return ann_path, img_dir

@@ -111,6 +111,9 @@ class DetectConfig:
     calib_images: int = 8          # int8: images used for activation calib
     calib_percentile: float = 100.0  # int8: |act| percentile for scales
                                    # (100 = abs-max; e.g. 99.9 clips outliers)
+    quant_bits: int = 8            # int8 path code width: 8 = full int8;
+                                   # <8 coarsens the grid to ±(2^(b-1)-1)
+                                   # (pair with cli/qat.py --bits to repair)
     fuse_stem: str = "off"         # fused conv0+pool: off|auto|pallas|xla
 
 

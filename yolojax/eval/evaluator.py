@@ -191,6 +191,7 @@ def evaluate_model(
     int8: bool = False,  # post-training int8 conv trunk (implies fold)
     calib_images: int = 8,  # int8 activation-calibration image count
     calib_percentile: float = 100.0,  # int8 |act| percentile (100 = absmax)
+    quant_bits: int = 8,  # int8 code width (detect.quant_bits; <8 coarsens)
     max_detections: int = 0,  # cap kept detections per image (0 = no cap)
     coco: bool = False,  # add COCO-style AP@[.50:.95] + size bins
     data_parallel: Optional[bool] = None,  # None = auto (all local devices)
@@ -283,7 +284,7 @@ def evaluate_model(
         calib_imgs = np.concatenate(chunks)[:want]
         qm = quantize_model(model, jax.device_get(params),
                             jnp.asarray(calib_imgs),
-                            percentile=calib_percentile)
+                            percentile=calib_percentile, bits=quant_bits)
         if mesh is not None:
             qm = _dc.replace(
                 qm, qparams=jax.device_put(qm.qparams, replicated(mesh)))

@@ -44,15 +44,22 @@ from yolojax.nn.layers import (
     max_pool,
     space_to_depth,
 )
+from yolojax.nn.stem import NoOpSpec, StemSpec
 
 
 @dataclasses.dataclass(frozen=True)
 class QuantizedModel:
     model: Model  # folded (bn=False everywhere)
     qparams: Dict[str, Any]  # conv_i -> {w_q, w_scale, b} (head: {w, b})
-    act_scales: Tuple[float, ...]  # per-spec output scale (f32/127 units)
+    act_scales: Tuple[float, ...]  # per-spec output scale (f32/qmax units)
     input_scale: float
     head_index: int  # spec index of the final conv kept in bf16
+    # Largest code magnitude: 127 for int8; 2^(b-1)-1 for a narrower
+    # ``bits`` grid (codes still ship as int8 tensors — the int8 MXU path
+    # is unchanged, only the representable grid coarsens). Sub-8-bit grids
+    # exist to exercise/repair real quantization error (QAT), and as the
+    # stepping stone to packed int4 serving.
+    qmax: int = 127
 
 
 def _conv_layers(model: Model) -> List[int]:
@@ -77,10 +84,11 @@ def calibrate(
     compute_dtype=jnp.bfloat16,
     percentile: float = 100.0,
     chunk: int = 16,
+    qmax: int = 127,
 ) -> Tuple[float, Tuple[float, ...]]:
     """Run a bf16 forward over calibration images recording per-spec output
     activation range. ``model`` must already be BN-folded. Returns
-    (input_scale, per-spec activation scales) where scale = range / 127.
+    (input_scale, per-spec activation scales) where scale = range / qmax.
 
     ``percentile`` < 100 clips outliers: the scale covers that percentile
     of |activation| instead of the absolute max (one hot pixel no longer
@@ -110,9 +118,9 @@ def calibrate(
     # clamp: an all-zero calibration range (all-black frames, or a low
     # percentile over mostly-zero canvases) would otherwise divide by zero
     # in apply_int8's requant and silently NaN every detection
-    input_scale = max(float(ranges[0]) / 127.0, 1e-8)
+    input_scale = max(float(ranges[0]) / qmax, 1e-8)
     return input_scale, tuple(
-        max(float(r) / 127.0, 1e-8) for r in ranges[1:]
+        max(float(r) / qmax, 1e-8) for r in ranges[1:]
     )
 
 
@@ -187,14 +195,22 @@ def quantize_model(
     calib_images: jax.Array,
     *,
     percentile: float = 100.0,
+    bits: int = 8,
 ) -> QuantizedModel:
     """Quantize a BN-folded network (v2 conv trunk or v1 conv+dense stack).
     The last conv/dense (head) stays in bf16. ``percentile`` < 100 enables
-    percentile-clip activation calibration (``detect.calib_percentile``)."""
+    percentile-clip activation calibration (``detect.calib_percentile``).
+    ``bits`` < 8 (``detect.quant_bits``) coarsens the code grid to
+    ±(2^(bits-1)-1) while still shipping int8 tensors — the config that
+    makes PTQ rounding error real and QAT (cli/qat.py --bits) worth its
+    name."""
+    if not 2 <= bits <= 8:
+        raise ValueError(f"quant bits must be in [2, 8], got {bits}")
+    qmax = 2 ** (bits - 1) - 1
     q_idx = _quantizable_layers(model)
     head_index = q_idx[-1]
     input_scale, act_scales = calibrate(model, params, calib_images,
-                                        percentile=percentile)
+                                        percentile=percentile, qmax=qmax)
     qparams: Dict[str, Any] = {}
     for i in q_idx:
         name = _pname(model, i)
@@ -206,31 +222,102 @@ def quantize_model(
             continue
         # per-out-channel (conv: last axis; dense: out column) scales
         reduce_axes = tuple(range(w.ndim - 1))
-        w_scale = np.maximum(np.abs(w).max(axis=reduce_axes), 1e-8) / 127.0
-        w_q = np.clip(np.round(w / w_scale), -127, 127).astype(np.int8)
+        w_scale = np.maximum(np.abs(w).max(axis=reduce_axes), 1e-8) / qmax
+        w_q = np.clip(np.round(w / w_scale), -qmax, qmax).astype(np.int8)
         qparams[name] = {
             "w_q": w_q,
             "w_scale": w_scale.astype(np.float32),
             "b": b,
         }
-    return QuantizedModel(model, qparams, act_scales, input_scale, head_index)
+    return QuantizedModel(model, qparams, act_scales, input_scale,
+                          head_index, qmax)
 
 
-def _requant(y: jax.Array, scale: float) -> jax.Array:
+def _requant(y: jax.Array, scale: float, qmax: int = 127) -> jax.Array:
     q = jnp.round(y / scale)
-    return jnp.clip(q, -127, 127).astype(jnp.int8)
+    return jnp.clip(q, -qmax, qmax).astype(jnp.int8)
+
+
+def fuse_stem_int8(qm: QuantizedModel) -> QuantizedModel:
+    """Fuse conv0 + the 2x2/2 max-pool of an int8-quantized model into one
+    phase-packed conv (the int8 counterpart of ``yolojax.nn.stem``).
+
+    Why (round-5 int8 device profile, PERF.md): conv0 writes an
+    s8[b,416,416,32] intermediate (~709 MB at b128) that the pool
+    immediately re-reads — conv0 2.18 ms + pool 1.25 ms of the 19.5 ms
+    program are pure HBM traffic. The packed form writes only the pooled
+    s8[b,208,208,32] (177 MB).
+
+    Unlike the bf16 stem (f32 accumulation reorders → parity only within
+    tolerance), the int8 version is BIT-EXACT: the packed conv performs
+    the same int8 x int8 -> int32 sums, int32 addition is associative,
+    and the requant-then-phase-max commutes with the unfused
+    requant-then-pool because all four phases share conv0's activation
+    scale (positive scales preserve order). Gated by a bitwise unit test.
+
+    Returns ``qm`` unchanged when the opening pattern doesn't match
+    (conv 3x3 s1 leaky + pool 2x2 s2, conv not the head)."""
+    from yolojax.nn.stem import pack_stem_kernel
+
+    model = qm.model
+    specs = model.specs
+    if len(specs) < 3 or qm.head_index == 0:
+        return qm
+    c0, p1 = specs[0], specs[1]
+    if not (isinstance(c0, ConvSpec) and c0.ksize == 3 and c0.stride == 1
+            and c0.act == "leaky" and isinstance(p1, MaxPoolSpec)
+            and p1.size == 2 and p1.stride == 2
+            and isinstance(specs[2], ConvSpec)):
+        return qm
+    lp = qm.qparams["conv_0"]
+    wp_q = pack_stem_kernel(
+        np.asarray(lp["w_q"], np.float32)).astype(np.int8)
+    new_qparams = dict(qm.qparams)
+    new_qparams["conv_0"] = {
+        "wp_q": jnp.asarray(wp_q),
+        "w_scale": jnp.asarray(np.tile(np.asarray(lp["w_scale"]), 4)),
+        "b": jnp.asarray(np.tile(np.asarray(lp["b"]), 4)),
+    }
+    new_specs = (StemSpec(out=c0.out, impl="xla"),
+                 NoOpSpec()) + tuple(specs[2:])
+    return dataclasses.replace(
+        qm,
+        model=dataclasses.replace(model, specs=new_specs),
+        qparams=new_qparams,
+    )
 
 
 def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
     """int8 forward pass. images (N, H, W, 3) float in [0, 1]. Returns the
     raw head (N, H, W, A, 5+C) like Model.apply."""
     model = qm.model
-    x_q = _requant(images.astype(jnp.float32), qm.input_scale)
+    x_q = _requant(images.astype(jnp.float32), qm.input_scale, qm.qmax)
     in_scale = qm.input_scale
     outputs_q: List[Tuple[jax.Array, float]] = []  # (int8 tensor, scale)
     head = None
     for i, spec in enumerate(model.specs):
-        if isinstance(spec, ConvSpec):
+        if isinstance(spec, StemSpec):
+            # fused conv0+pool (fuse_stem_int8): packed int8 conv on the
+            # space-to-depth grid, f32 dequant+bias+leaky epilogue, requant
+            # at conv0's scale, then phase-max — bit-exact vs unfused
+            lp = qm.qparams["conv_0"]
+            xp = space_to_depth(x_q, 2)
+            acc = lax.conv_general_dilated(
+                xp, jnp.asarray(lp["wp_q"]), (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            y = acc.astype(jnp.float32) * (
+                in_scale * jnp.asarray(lp["w_scale"])
+            ) + jnp.asarray(lp["b"])
+            y = leaky_relu(y)
+            q = _requant(y, qm.act_scales[0], qm.qmax)
+            n_, hh, ww, c4 = q.shape
+            x_q = q.reshape(n_, hh, ww, 4, c4 // 4).max(axis=3)
+            in_scale = qm.act_scales[0]
+        elif isinstance(spec, NoOpSpec):
+            pass  # pool slot consumed by the stem; indices stay stable
+        elif isinstance(spec, ConvSpec):
             lp = qm.qparams[f"conv_{i}"]
             if i == qm.head_index:
                 kh = lp["w"].shape[0]
@@ -243,7 +330,7 @@ def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 ).astype(jnp.float32) + jnp.asarray(lp["b"])
                 head = y
-                x_q = _requant(y, qm.act_scales[i])  # unused downstream
+                x_q = _requant(y, qm.act_scales[i], qm.qmax)  # unused downstream
             else:
                 k = lp["w_q"].shape[0]
                 pad_h = _darknet_padding(x_q.shape[1], k, spec.stride)
@@ -260,7 +347,7 @@ def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
                 ) + jnp.asarray(lp["b"])
                 if spec.act == "leaky":
                     y = leaky_relu(y)
-                x_q = _requant(y, qm.act_scales[i])
+                x_q = _requant(y, qm.act_scales[i], qm.qmax)
             in_scale = qm.act_scales[i]
         elif isinstance(spec, MaxPoolSpec):
             x_q = max_pool(x_q, spec.size, spec.stride)
@@ -271,7 +358,7 @@ def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
             f32 = jnp.concatenate(
                 [p.astype(jnp.float32) * s for p, s in parts], -1
             )
-            x_q = _requant(f32, qm.act_scales[i])
+            x_q = _requant(f32, qm.act_scales[i], qm.qmax)
             in_scale = qm.act_scales[i]
         elif isinstance(spec, FlattenSpec):
             n_, h_, w_, c_ = x_q.shape
@@ -284,7 +371,7 @@ def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
                     jnp.asarray(lp["w"]).astype(jnp.bfloat16),
                 ).astype(jnp.float32) + jnp.asarray(lp["b"])
                 head = y
-                x_q = _requant(y, qm.act_scales[i])
+                x_q = _requant(y, qm.act_scales[i], qm.qmax)
             else:
                 acc = jax.lax.dot_general(
                     x_q, jnp.asarray(lp["w_q"]),
@@ -296,7 +383,7 @@ def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
                 ) + jnp.asarray(lp["b"])
                 if spec.act == "leaky":
                     y = leaky_relu(y)
-                x_q = _requant(y, qm.act_scales[i])
+                x_q = _requant(y, qm.act_scales[i], qm.qmax)
             in_scale = qm.act_scales[i]
         elif isinstance(spec, DropoutSpec):
             pass  # eval mode

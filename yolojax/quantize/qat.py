@@ -58,32 +58,34 @@ from yolojax.nn.layers import (
 from yolojax.quantize.ptq import _quantizable_layers
 
 
-def fake_quant(x: jax.Array, scale) -> jax.Array:
-    """Quantize-dequantize onto the symmetric int8 grid with a
+def fake_quant(x: jax.Array, scale, qmax: float = 127.0) -> jax.Array:
+    """Quantize-dequantize onto the symmetric ``qmax``-code grid with a
     straight-through estimator: forward value is
-    ``clip(round(x/scale), -127, 127) * scale``; the gradient passes
+    ``clip(round(x/scale), -qmax, qmax) * scale``; the gradient passes
     through as identity (the classic ``x + stop_grad(q - x)`` form —
     pass-through everywhere, including the clipped tail, which keeps
-    saturated activations trainable)."""
+    saturated activations trainable). ``qmax`` mirrors
+    :class:`ptq.QuantizedModel.qmax` (127 for int8; 2^(b-1)-1 for the
+    narrower ``bits`` grids)."""
     scale = lax.stop_gradient(jnp.asarray(scale, jnp.float32))
-    q = jnp.clip(jnp.round(x / scale), -127.0, 127.0) * scale
+    q = jnp.clip(jnp.round(x / scale), -float(qmax), float(qmax)) * scale
     return x + lax.stop_gradient(q - x)
 
 
-def weight_scale(w: jax.Array) -> jax.Array:
+def weight_scale(w: jax.Array, qmax: float = 127.0) -> jax.Array:
     """Per-output-channel scale, the exact formula
     :func:`ptq.quantize_model` applies at export (conv HWIO: out is the
     last axis; dense: the out column)."""
     reduce_axes = tuple(range(w.ndim - 1))
-    return jnp.maximum(jnp.abs(w).max(axis=reduce_axes), 1e-8) / 127.0
+    return jnp.maximum(jnp.abs(w).max(axis=reduce_axes), 1e-8) / float(qmax)
 
 
-def fake_quant_weight(w: jax.Array) -> jax.Array:
+def fake_quant_weight(w: jax.Array, qmax: float = 127.0) -> jax.Array:
     """Fake-quantize a conv/dense kernel per output channel. The scale is
     recomputed from the LIVE weights each step (stop-gradient), so weights
     are free to migrate across grid cells during fine-tuning and the
     export-time quantization sees the same scale they trained under."""
-    return fake_quant(w, weight_scale(w))
+    return fake_quant(w, weight_scale(w, qmax), qmax)
 
 
 def qat_forward(
@@ -95,6 +97,7 @@ def qat_forward(
     *,
     train: bool = False,
     rng: Optional[jax.Array] = None,
+    qmax: float = 127.0,
 ) -> jax.Array:
     """Fake-quant forward of a BN-FOLDED network, mirroring
     :func:`ptq.apply_int8` point for point: input requant, int8 conv/dense
@@ -105,7 +108,7 @@ def qat_forward(
     ``Model.apply`` (v2: (N, H, W, A, 5+C); v1: flat)."""
     q_idx = _quantizable_layers(model)
     head_index = q_idx[-1]
-    x = fake_quant(images.astype(jnp.float32), input_scale)
+    x = fake_quant(images.astype(jnp.float32), input_scale, qmax)
     outputs: List[jax.Array] = []
     head = None
     for i, spec in enumerate(model.specs):
@@ -118,7 +121,7 @@ def qat_forward(
             layer = params[f"conv_{i}"]
             w = layer["w"].astype(jnp.float32)
             if i != head_index:
-                w = fake_quant_weight(w)
+                w = fake_quant_weight(w, qmax)
             k = w.shape[0]
             pad_h = _darknet_padding(x.shape[1], k, spec.stride)
             pad_w = _darknet_padding(x.shape[2], k, spec.stride)
@@ -130,7 +133,7 @@ def qat_forward(
                 y = leaky_relu(y)
             if i == head_index:
                 head = y
-            x = fake_quant(y, act_scales[i])
+            x = fake_quant(y, act_scales[i], qmax)
         elif isinstance(spec, MaxPoolSpec):
             # order-preserving on fake-quantized values, same as the int8
             # path pooling raw int8 codes
@@ -141,7 +144,7 @@ def qat_forward(
             parts = [outputs[r if r >= 0 else i + r] for r in spec.layers]
             # parts are already dequantized (fake-quant keeps real scale);
             # the int8 path dequantizes then requants at a fresh scale
-            x = fake_quant(jnp.concatenate(parts, -1), act_scales[i])
+            x = fake_quant(jnp.concatenate(parts, -1), act_scales[i], qmax)
         elif isinstance(spec, FlattenSpec):
             n_, h_, w_, c_ = x.shape
             x = x.transpose(0, 3, 1, 2).reshape(n_, c_ * h_ * w_)
@@ -149,13 +152,13 @@ def qat_forward(
             layer = params[f"dense_{i}"]
             w = layer["w"].astype(jnp.float32)
             if i != head_index:
-                w = fake_quant_weight(w)
+                w = fake_quant_weight(w, qmax)
             y = jnp.dot(x, w) + layer["b"].astype(jnp.float32)
             if spec.act == "leaky":
                 y = leaky_relu(y)
             if i == head_index:
                 head = y
-            x = fake_quant(y, act_scales[i])
+            x = fake_quant(y, act_scales[i], qmax)
         elif isinstance(spec, DropoutSpec):
             if train:
                 if rng is None:
@@ -188,6 +191,7 @@ def make_qat_step(
     loss_cfg=None,
     aug_cfg=None,
     augment: bool = True,
+    qmax: float = 127.0,
 ):
     """Jitted QAT fine-tune step ``fn(state, batch, rng, dim) -> (state,
     metrics)`` over a folded model. Same batch contract as
@@ -223,7 +227,7 @@ def make_qat_step(
         def loss_fn(params):
             head = qat_forward(
                 model, params, images, input_scale, act_scales,
-                train=True, rng=rng_drop,
+                train=True, rng=rng_drop, qmax=qmax,
             )
             terms = loss_from_head(head, gt_xywh, gt_class, gt_valid)
             return terms["total"], terms

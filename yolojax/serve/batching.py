@@ -62,7 +62,11 @@ class DynamicBatcher:
     ):
         """``max_queue``: requests allowed to WAIT beyond the one being
         assembled (0 = 8×batch). When the queue is at capacity ``submit``
-        raises :class:`QueueFull` instead of stacking latency.
+        raises :class:`QueueFull` instead of stacking latency. Note the
+        queue cap bounds *waiting* requests only: with ``pipeline_depth``
+        D, up to ``D×batch`` further requests are in flight on the device
+        side, so total in-system requests (and worst-case buffered
+        latency) are bounded by ``max_queue + pipeline_depth×batch``.
 
         ``pipeline_depth``: dispatches allowed in flight at once. At the
         default 1 the worker serializes batches end-to-end (assemble →
@@ -174,7 +178,21 @@ class DynamicBatcher:
                 self._dispatch(group)
             else:
                 self._inflight.acquire()
-                self._pool.submit(self._dispatch_release, group)
+                try:
+                    self._pool.submit(self._dispatch_release, group)
+                except RuntimeError as e:
+                    # close() shut the pool down while we outlived its join
+                    # timeout (a wedged in-flight dispatch). Fail this group
+                    # explicitly — its submitters block on done.wait() with
+                    # no timeout and would otherwise hang forever.
+                    self._inflight.release()
+                    for p in group:
+                        p.error = RuntimeError(
+                            f"batcher closed while dispatching: {e}")
+                        p.done.set()
+                    with self._cv:
+                        self._errors += 1
+                        self._batches += 1
 
     def _dispatch_release(self, group: List[_Pending]):
         try:
