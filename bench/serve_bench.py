@@ -65,8 +65,17 @@ def main():
                              "(pipelined) dispatch against the device "
                              "envelope, which a 1-vCPU host's decode "
                              "bottleneck would otherwise mask")
+    parser.add_argument("--sweep", action="store_true",
+                        help="direct-mode knob sweep: compile the detect "
+                             "graph ONCE, then measure every "
+                             "pipeline-depth x window-ms combination "
+                             "around it (one JSON line each) — the "
+                             "docs/TUNING.md evidence run")
     args = parser.parse_args()
     cfg = setup(args)
+
+    if args.sweep:
+        return sweep_bench(args, cfg)
 
     from cli.serve import build_server
 
@@ -138,6 +147,76 @@ def main():
     httpd.shutdown()
     httpd.server_close()
     batcher.close()
+
+
+def sweep_bench(args, cfg):
+    """One compile, many batcher configs: measures how --pipeline-depth
+    and --window-ms move steady img/s and latency at a fixed batch, so
+    the recommended knobs are data (VERDICT r4 next #4)."""
+    import numpy as np
+
+    from cli.detect import build_detector
+    from yolojax.serve.batching import DynamicBatcher
+
+    names, dim, infer = build_detector(cfg, args.weights)
+    filler = np.full((dim, dim, 3), 0.5, np.float32)
+    infer(np.stack([filler] * args.batch))  # the one compile
+    rng = np.random.default_rng(5)
+    canvases = [rng.uniform(0, 1, (dim, dim, 3)).astype(np.float32)
+                for _ in range(args.distinct)]
+
+    for depth in (1, 2):
+        for window in (2.0, 5.0, 10.0):
+            batcher = DynamicBatcher(infer, args.batch, filler,
+                                     window_ms=window,
+                                     pipeline_depth=depth)
+            lats = []
+            lock = threading.Lock()
+            for i in range(args.batch):  # warm this batcher's worker
+                batcher.submit(canvases[i % len(canvases)])
+            stats0 = batcher.stats()
+            counter = iter(range(args.requests))
+
+            def client(cid):
+                k = cid
+                while True:
+                    with lock:
+                        n = next(counter, None)
+                    if n is None:
+                        return
+                    t0 = time.perf_counter()
+                    batcher.submit(canvases[k % len(canvases)])
+                    dt = (time.perf_counter() - t0) * 1e3
+                    k += args.clients
+                    with lock:
+                        lats.append(dt)
+
+            t0 = time.perf_counter()
+            threads = [threading.Thread(target=client, args=(c,))
+                       for c in range(args.clients)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            wall = time.perf_counter() - t0
+            stats1 = batcher.stats()
+            lats.sort()
+            batches = stats1["batches"] - stats0["batches"]
+            images = stats1["images"] - stats0["images"]
+            print(json.dumps({
+                "metric": "serve_direct_sweep",
+                "img_per_sec": round(len(lats) / wall, 1),
+                "batch": args.batch,
+                "window_ms": window,
+                "pipeline_depth": depth,
+                "clients": args.clients,
+                "p50_ms": round(lats[len(lats) // 2], 1),
+                "p99_ms": round(lats[int(len(lats) * 0.99)], 1),
+                "mean_fill": round(images / batches, 2) if batches else None,
+                "errors": stats1["errors"],
+            }), flush=True)
+            batcher.close()
+    return 0
 
 
 def direct_bench(args, batcher, cfg, httpd):
