@@ -85,6 +85,12 @@ def build_serving(cfg, weights_path, calib_canvases=None, portable=False,
         qm = quantize_model(model, jax.device_get(params), calib,
                             percentile=cfg.detect.calib_percentile,
                             bits=cfg.detect.quant_bits)
+        if cfg.detect.fuse_stem != "off":
+            from yolojax.quantize.ptq import fuse_stem_int8
+
+            # bit-exact phase-packed conv0+pool; opt-in like the bf16
+            # stem (measured slower on v5e — PERF.md round 5)
+            qm = fuse_stem_int8(qm)
     if mesh is not None:
         import dataclasses as _dc
 
