@@ -45,6 +45,11 @@ def main():
     parser.add_argument("--no-augment", action="store_true",
                         help="fine-tune on plain resized canvases instead "
                              "of the augmentation pipeline")
+    parser.add_argument("--distill", action="store_true",
+                        help="minimize MSE to the frozen f32 teacher's "
+                             "head instead of the detection loss — dense "
+                             "per-activation signal; the better objective "
+                             "on deep nets at low bits (PERF.md round 5)")
     args = parser.parse_args()
     cfg = setup(args)
 
@@ -120,11 +125,23 @@ def main():
              calib.shape[0], cfg.detect.calib_percentile, bits)
 
     tx = make_qat_optimizer(qcfg)
-    step_fn = make_qat_step(
-        folded_model, tx, in_scale, act_scales,
-        loss_cfg=cfg.loss_config(), aug_cfg=cfg.augment,
-        augment=not args.no_augment, qmax=qmax,
-    )
+    teacher_params = None
+    if args.distill:
+        from yolojax.quantize.qat import make_qat_distill_step
+
+        # frozen f32 teacher = the pre-fine-tune folded weights
+        teacher_params = jax.tree_util.tree_map(
+            jnp.asarray, jax.device_get(folded_params))
+        step_fn = make_qat_distill_step(
+            folded_model, tx, in_scale, act_scales,
+            aug_cfg=cfg.augment, augment=not args.no_augment, qmax=qmax,
+        )
+    else:
+        step_fn = make_qat_step(
+            folded_model, tx, in_scale, act_scales,
+            loss_cfg=cfg.loss_config(), aug_cfg=cfg.augment,
+            augment=not args.no_augment, qmax=qmax,
+        )
     st = QatState(jnp.zeros((), jnp.int32), folded_params,
                   tx.init(folded_params))
     rng = jax.random.PRNGKey(cfg.train.seed + 17)
@@ -133,7 +150,10 @@ def main():
     for step_i in range(qcfg.steps):
         host_batch = next(batch_iter)
         batch = tuple(jnp.asarray(t) for t in host_batch)
-        st, m = step_fn(st, batch, rng, dim=dim)
+        if teacher_params is not None:
+            st, m = step_fn(st, batch, teacher_params, rng, dim=dim)
+        else:
+            st, m = step_fn(st, batch, rng, dim=dim)
         # finiteness is checked EVERY step (a short repair pass affords
         # the per-step sync): a divergence between summary points must
         # never reach the output npz as NaN weights

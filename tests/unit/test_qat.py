@@ -279,3 +279,50 @@ def test_low_bit_qat_repairs_ptq_regression():
     err_qat = int8_err(p)
     # recovers at least 30% of the 4-bit PTQ error on this objective
     assert err_qat < 0.7 * err_ptq, (err_qat, err_ptq)
+
+
+def test_distill_step_descends_and_beats_ptq():
+    """make_qat_distill_step: teacher-matching MSE must fall, and the
+    re-exported int8 graph must track the f32 teacher better than PTQ
+    of the original weights (the dense-objective variant behind
+    cli/qat.py --distill)."""
+    from yolojax.quantize.qat import QatState, make_qat_distill_step
+
+    model = get_model("yolo2", "tiny", num_classes=2)
+    params, state = model.init(jax.random.PRNGKey(3), 32)
+    model, params, _ = fold_bn(model, params, state)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.uniform(0, 1, (4, 48, 48, 3)).astype(np.float32))
+    calib = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32))
+    in_scale, act_scales = calibrate(model, params, calib, qmax=15)
+
+    def err_vs_teacher(p):
+        qm = quantize_model(model, jax.device_get(p), calib, bits=5)
+        out = apply_int8(qm, jax.image.resize(x, (4, 32, 32, 3), "linear"))
+        t, _ = model.apply(params, {},
+                           jax.image.resize(x, (4, 32, 32, 3), "linear"),
+                           compute_dtype=jnp.float32)
+        return float(jnp.mean((out - t) ** 2))
+
+    err_ptq = err_vs_teacher(params)
+
+    tx = optax.adam(2e-4)
+    step = make_qat_distill_step(model, tx, in_scale, act_scales,
+                                 augment=False, qmax=15.0)
+    st = QatState(jnp.zeros((), jnp.int32), params, tx.init(params))
+    # the step donates its state; the teacher must be distinct buffers
+    teacher = jax.tree_util.tree_map(
+        jnp.asarray, jax.device_get(params))
+    boxes = jnp.zeros((4, 4, 4), jnp.float32)
+    cls = jnp.zeros((4, 4), jnp.int32)
+    valid = jnp.zeros((4, 4), bool)
+    key = jax.random.PRNGKey(0)
+    first = last = None
+    for _ in range(40):
+        st, m = step(st, (x, boxes, cls, valid), teacher, key, dim=32)
+        if first is None:
+            first = float(m["distill_mse"])
+        last = float(m["distill_mse"])
+    assert last < first, (first, last)
+    err_qat = err_vs_teacher(st.params)
+    assert err_qat < err_ptq, (err_qat, err_ptq)

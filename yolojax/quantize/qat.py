@@ -242,6 +242,75 @@ def make_qat_step(
     return qat_step
 
 
+def make_qat_distill_step(
+    model: Model,
+    tx: optax.GradientTransformation,
+    input_scale: float,
+    act_scales: Sequence[float],
+    *,
+    aug_cfg=None,
+    augment: bool = True,
+    qmax: float = 127.0,
+):
+    """Distillation-mode QAT step: instead of the detection objective,
+    minimize MSE between the fake-quant head and the FROZEN f32 teacher's
+    head on the same (augmented) batch.
+
+    Why it exists (PERF.md round 5 hardware record): on the 23-conv
+    Darknet-19 at 5 bits, detection-loss QAT plateaus at a partial
+    repair — the sparse detection loss only pushes gradients through
+    cells with objects, while the quantization error it must undo lives
+    in EVERY activation. The teacher-matching objective is dense (every
+    head element carries signal), needs no labels beyond the images, and
+    its optimum is exactly "the quantized net computes what the f32 net
+    computed". Returns ``fn(state, batch, teacher_params, rng, dim) ->
+    (state, metrics)`` with a ``distill_mse`` metric (no loss terms).
+    The state is donated: ``teacher_params`` must hold buffers DISTINCT
+    from ``state.params`` (copy through ``jax.device_get`` first, as
+    cli/qat.py does) or XLA rejects the aliased execute."""
+    from yolojax.data.augment import AugmentConfig
+    from yolojax.nn.layers import apply_network
+    from yolojax.train.step import prepare_images
+
+    if aug_cfg is None:
+        aug_cfg = AugmentConfig()
+    act_scales = tuple(float(s) for s in act_scales)
+    input_scale = float(input_scale)
+
+    @partial(jax.jit, static_argnames=("dim",), donate_argnums=(0,))
+    def distill_step(st: QatState, batch, teacher_params, rng: jax.Array,
+                     dim: int):
+        images, gt_xywh, gt_class, gt_valid = batch
+        rng = jax.random.fold_in(rng, st.step)
+        rng_aug, rng_drop = jax.random.split(rng)
+        images, _, _ = prepare_images(
+            rng_aug, images.astype(jnp.float32), gt_xywh, gt_valid, dim,
+            aug_cfg, augment,
+        )
+        teacher, _ = apply_network(
+            model.specs, teacher_params, {}, images,
+            compute_dtype=jnp.float32,
+        )
+        teacher = lax.stop_gradient(teacher)
+
+        def loss_fn(params):
+            head = qat_forward(
+                model, params, images, input_scale, act_scales,
+                train=True, rng=rng_drop, qmax=qmax,
+            )
+            flat = head.reshape(head.shape[0], -1)
+            return jnp.mean((flat - teacher.reshape(flat.shape)) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(st.params)
+        updates, new_opt = tx.update(grads, st.opt_state, st.params)
+        new_params = optax.apply_updates(st.params, updates)
+        metrics = {"total": loss, "distill_mse": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        return QatState(st.step + 1, new_params, new_opt), metrics
+
+    return distill_step
+
+
 def reembed_folded(
     registry_model: Model,
     folded_params: Dict[str, Any],
