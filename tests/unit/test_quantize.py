@@ -208,3 +208,24 @@ def test_int8_fused_stem_bitexact_low_bits():
     a = np.asarray(apply_int8(qm, x))
     b = np.asarray(apply_int8(qmf, x))
     assert (a == b).all(), np.abs(a - b).max()
+
+
+def test_one_by_one_dot_form_bitexact():
+    """apply_int8(one_by_one="dot"): 1x1 trunk convs as int8 dot_general
+    must match the conv form bit for bit (same int32 sums)."""
+    import jax
+
+    from yolojax.convert.fold import fold_bn
+    from yolojax.models import get_model
+    from yolojax.quantize.ptq import apply_int8, quantize_model
+
+    model = get_model("yolo2", "darknet", num_classes=4)
+    params, state = model.init(jax.random.PRNGKey(0), 64)
+    model, params, _ = fold_bn(model, params, state)
+    rng = np.random.RandomState(0)
+    calib = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    qm = quantize_model(model, params, calib)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32))
+    a = np.asarray(apply_int8(qm, x))
+    b = np.asarray(apply_int8(qm, x, one_by_one="dot"))
+    assert (a == b).all()

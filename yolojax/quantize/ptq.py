@@ -287,9 +287,18 @@ def fuse_stem_int8(qm: QuantizedModel) -> QuantizedModel:
     )
 
 
-def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
+def apply_int8(qm: QuantizedModel, images: jax.Array,
+               *, one_by_one: str = "conv") -> jax.Array:
     """int8 forward pass. images (N, H, W, 3) float in [0, 1]. Returns the
-    raw head (N, H, W, A, 5+C) like Model.apply."""
+    raw head (N, H, W, A, 5+C) like Model.apply.
+
+    ``one_by_one``: how 1x1 stride-1 trunk convs are expressed —
+    ``"conv"`` (default, conv_general_dilated) or ``"dot"`` (reshape to
+    (N*H*W, Cin) @ (Cin, Cout) int8 dot_general; identical int32 sums,
+    bit-exact). Exists because the round-5 int8 profile showed the 104²
+    1x1 conv ~5x over its byte roofline in a batch-minor layout; the
+    dot form lets XLA choose a matmul layout. A/B'd on hardware
+    (PERF.md) — kept selectable, not default, unless measured faster."""
     model = qm.model
     x_q = _requant(images.astype(jnp.float32), qm.input_scale, qm.qmax)
     in_scale = qm.input_scale
@@ -333,15 +342,24 @@ def apply_int8(qm: QuantizedModel, images: jax.Array) -> jax.Array:
                 x_q = _requant(y, qm.act_scales[i], qm.qmax)  # unused downstream
             else:
                 k = lp["w_q"].shape[0]
-                pad_h = _darknet_padding(x_q.shape[1], k, spec.stride)
-                pad_w = _darknet_padding(x_q.shape[2], k, spec.stride)
-                acc = lax.conv_general_dilated(
-                    x_q,
-                    jnp.asarray(lp["w_q"]),
-                    (spec.stride, spec.stride), (pad_h, pad_w),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32,
-                )
+                if one_by_one == "dot" and k == 1 and spec.stride == 1:
+                    n_, h_, w_, ci = x_q.shape
+                    acc = lax.dot_general(
+                        x_q.reshape(n_ * h_ * w_, ci),
+                        jnp.asarray(lp["w_q"]).reshape(ci, -1),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    ).reshape(n_, h_, w_, -1)
+                else:
+                    pad_h = _darknet_padding(x_q.shape[1], k, spec.stride)
+                    pad_w = _darknet_padding(x_q.shape[2], k, spec.stride)
+                    acc = lax.conv_general_dilated(
+                        x_q,
+                        jnp.asarray(lp["w_q"]),
+                        (spec.stride, spec.stride), (pad_h, pad_w),
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.int32,
+                    )
                 y = acc.astype(jnp.float32) * (
                     in_scale * jnp.asarray(lp["w_scale"])
                 ) + jnp.asarray(lp["b"])
